@@ -1,0 +1,63 @@
+"""Materialize committed fixture parquet under fixtures_data/.
+
+Run: python -m intelligent_document_processing_on_aws_spark.fixtures.build
+
+Writes (pyarrow, no Spark needed; byte-stable given the seed-addressed
+generator):
+  fixtures_data/t1_pages.parquet    200 rows  (pytest fast path)
+  fixtures_data/t2_pages.parquet   5000 rows  (full byte-identity sweep;
+                                               driver-oracle input)
+  fixtures_data/t1_golden.parquet / t2_golden.parquet  golden outputs
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .pages_gen import GOLDEN_COLS, INPUT_COLS, gen_pages
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+FIXTURES_DIR = os.path.join(REPO_ROOT, "fixtures_data")
+
+TIERS = {"t1": 200, "t2": 5000}
+
+PAGES_ARROW_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+GOLDEN_ARROW_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("extracted_text", pa.string()),
+        ("spans_json", pa.string()),
+        ("lang", pa.string()),
+        ("confidence", pa.float64()),
+        ("content_type", pa.string()),
+    ]
+)
+
+
+def _write(recs: list[dict], cols: tuple, schema: pa.Schema, path: str) -> None:
+    table = pa.Table.from_pydict({c: [r[c] for r in recs] for c in cols}, schema=schema)
+    pq.write_table(table, path, compression="zstd")
+
+
+def build(out_dir: str = FIXTURES_DIR) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for tier, n in TIERS.items():
+        recs = gen_pages(n)
+        _write(recs, INPUT_COLS, PAGES_ARROW_SCHEMA, os.path.join(out_dir, f"{tier}_pages.parquet"))
+        _write(recs, GOLDEN_COLS, GOLDEN_ARROW_SCHEMA, os.path.join(out_dir, f"{tier}_golden.parquet"))
+        print(f"wrote {tier}: {n} rows")
+
+
+if __name__ == "__main__":
+    build()

@@ -1,0 +1,53 @@
+"""Per-page extraction dispatcher: content-type detect -> branch kernel.
+
+The single pure entry point the Spark extraction stage calls per page
+(inside mapInPandas Arrow batches). Mirrors the reference's OCR service
+dispatch (lib/idp_common_pkg/idp_common/ocr/service.py:316-491): detect
+file type, route to the decoder branch, produce per-page text artifacts.
+"""
+
+from __future__ import annotations
+
+from . import filetype
+from .boilerplate import ExtractionResult, extract_html
+from .pagination import text_to_pages
+from .pdf_layout import extract_pdf
+
+
+def extract_page_safe(content: bytes) -> tuple[str, ExtractionResult, str | None]:
+    """Error-contained variant: returns (content_type, result, error).
+
+    A malformed payload must never kill a batch/job — mirrors the
+    reference's per-document ``errors: List[str]`` accumulation
+    (lib/idp_common_pkg/idp_common/models.py:142-210). On failure the row
+    degrades to an empty extraction with the error message recorded.
+    """
+    try:
+        ctype, res = extract_page(content)
+        return ctype, res, None
+    except Exception as e:  # noqa: BLE001 — containment boundary
+        return "error", ExtractionResult("", [], 0.0, 0), f"{type(e).__name__}: {e}"
+
+
+def extract_page(content: bytes) -> tuple[str, ExtractionResult]:
+    """Returns (content_type, ExtractionResult)."""
+    ctype = filetype.detect_content_type(content)
+    if ctype == filetype.PDF:
+        return ctype, extract_pdf(content)
+    if ctype in (filetype.HTML,):
+        return ctype, extract_html(content)
+    if ctype == filetype.TEXT:
+        # plain text: everything is main content, paginated per the
+        # reference's text converter math then re-joined page-wise.
+        text = content.decode("utf-8")
+        pages = text_to_pages(text)
+        joined = "\n".join(pages)
+        from .boilerplate import Span
+
+        spans = []
+        off = 0
+        for i, p in enumerate(pages):
+            spans.append(Span(off, off + len(p), i))
+            off += len(p) + 1
+        return ctype, ExtractionResult(joined, spans, 1.0 if joined else 0.0, len(pages))
+    return ctype, ExtractionResult("", [], 0.0, 0)

@@ -1,0 +1,211 @@
+"""Lightweight DOM block segmentation over raw HTML bytes.
+
+Stdlib-only (``html.parser``): splits a page into text *blocks* — maximal
+runs of inline text between block-level tags — each annotated with the
+features boilerplate classification needs (char count, link-char count,
+word count, ancestor tags). HTML tables are captured structurally
+(rows × cells) and rendered to pipe-markdown by :mod:`.tables` so tabular
+main content survives extraction the same way the reference renders
+CSV/XLSX to markdown (reference: lib/idp_common_pkg/idp_common/ocr/
+document_converter.py:1109-1147).
+
+Deterministic: same bytes in -> same blocks out. No network, no clock.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+from .tables import format_pipe_table
+
+# Tags that terminate the current text block.
+BLOCK_TAGS = frozenset(
+    """p div h1 h2 h3 h4 h5 h6 li td th tr table ul ol article section main
+    header footer nav aside blockquote pre figcaption title body html head
+    form br hr figure""".split()
+)
+# Content inside these is discarded entirely.
+SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "svg"})
+# Ancestor tags that mark a block as boilerplate a priori.
+DROP_ANCESTOR_TAGS = frozenset({"nav", "aside", "footer", "header", "form", "title", "head"})
+# Ancestor tags that mark a block as likely main content.
+CONTENT_ANCESTOR_TAGS = frozenset({"article", "main"})
+# Void elements never pushed on the open-tag stack.
+VOID_TAGS = frozenset(
+    "br hr img meta link input area base col embed source track wbr".split()
+)
+
+_WS_RE = re.compile(r"\s+")
+
+
+def collapse_ws(text: str) -> str:
+    """Collapse whitespace runs to single spaces and strip ends."""
+    return _WS_RE.sub(" ", text).strip()
+
+
+@dataclass
+class Block:
+    """One segmented text block with boilerplate features."""
+
+    text: str
+    link_chars: int = 0
+    path: tuple = ()
+    is_table: bool = False
+    kept: bool = False  # filled by boilerplate.select_blocks
+
+    @property
+    def n_chars(self) -> int:
+        return len(self.text)
+
+    @property
+    def n_words(self) -> int:
+        return len(self.text.split())
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.n_chars if self.n_chars else 0.0
+
+    @property
+    def in_drop(self) -> bool:
+        return any(t in DROP_ANCESTOR_TAGS for t in self.path)
+
+    @property
+    def in_content(self) -> bool:
+        return any(t in CONTENT_ANCESTOR_TAGS for t in self.path)
+
+
+@dataclass
+class _TableState:
+    rows: list = field(default_factory=list)
+    cur_row: list = field(default_factory=list)
+    cur_cell: list = field(default_factory=list)
+    in_cell: bool = False
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._stack: list[str] = []
+        self._parts: list[tuple[str, bool]] = []  # (text, inside <a>)
+        self._a_depth = 0
+        self._skip_depth = 0
+        self._table: _TableState | None = None
+        self._table_path: tuple = ()
+
+    # -- parser hooks ------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        tag = tag.lower()
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if self._table is not None:
+            if tag == "tr":
+                self._end_row()
+                self._table.cur_row = []
+            elif tag in ("td", "th"):
+                self._table.in_cell = True
+                self._table.cur_cell = []
+            return
+        if tag == "table":
+            self._emit_pending()
+            self._table = _TableState()
+            self._table_path = tuple(self._stack)
+            return
+        if tag in BLOCK_TAGS:
+            self._emit_pending()
+            if tag not in VOID_TAGS:
+                self._stack.append(tag)
+            return
+        if tag == "a":
+            self._a_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if tag in SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if self._table is not None:
+            if tag in ("td", "th"):
+                self._table.cur_row.append(
+                    collapse_ws("".join(self._table.cur_cell))
+                )
+                self._table.in_cell = False
+                self._table.cur_cell = []
+            elif tag == "tr":
+                self._end_row()
+            elif tag == "table":
+                self._end_row()
+                rows = [r for r in self._table.rows if r]
+                md = format_pipe_table(rows)
+                if md:
+                    self.blocks.append(
+                        Block(text=md, link_chars=0, path=self._table_path, is_table=True)
+                    )
+                self._table = None
+            return
+        if tag in BLOCK_TAGS:
+            self._emit_pending()
+            # lenient close: pop up to the matching open tag if present
+            if tag in self._stack:
+                while self._stack and self._stack[-1] != tag:
+                    self._stack.pop()
+                if self._stack:
+                    self._stack.pop()
+            return
+        if tag == "a":
+            self._a_depth = max(0, self._a_depth - 1)
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        if self._table is not None:
+            if self._table.in_cell:
+                self._table.cur_cell.append(data)
+            return
+        self._parts.append((data, self._a_depth > 0))
+
+    # -- helpers -----------------------------------------------------------
+    def _end_row(self) -> None:
+        assert self._table is not None
+        if self._table.in_cell:
+            self._table.cur_row.append(collapse_ws("".join(self._table.cur_cell)))
+            self._table.in_cell = False
+            self._table.cur_cell = []
+        if self._table.cur_row:
+            self._table.rows.append(self._table.cur_row)
+            self._table.cur_row = []
+
+    def _emit_pending(self) -> None:
+        if not self._parts:
+            return
+        raw = "".join(t for t, _ in self._parts)
+        text = collapse_ws(raw)
+        link_chars = sum(
+            len(collapse_ws(t)) for t, is_link in self._parts if is_link
+        )
+        self._parts = []
+        if text:
+            self.blocks.append(
+                Block(text=text, link_chars=link_chars, path=tuple(self._stack))
+            )
+
+    def close(self) -> None:  # flush trailing text
+        super().close()
+        self._emit_pending()
+
+
+def parse_blocks(html: bytes | str) -> list[Block]:
+    """Segment an HTML document into annotated text blocks."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    parser = _BlockParser()
+    parser.feed(html)
+    parser.close()
+    return parser.blocks

@@ -1,0 +1,77 @@
+"""Layout-aware parsing of span-based "PDF" payloads.
+
+The synthetic PDF payload (FIXTURES.md §1.6) is ``b"%SPDF" + json`` where
+json = {"spans": [{"page": int, "x": float, "y": float, "text": str,
+"confidence": float}, ...]} in arbitrary order. This kernel restores
+reading order the way the reference's textractor ``to_markdown`` path does
+for OCR blocks (lib/idp_common_pkg/idp_common/ocr/service.py:1558-1630):
+top-to-bottom lines, left-to-right within a line, per page.
+
+Join semantics (byte-identity contract):
+- spans on one line joined with " ",
+- lines joined with "\n",
+- pages joined with "\n" — the reference's multi-page text concat separator
+  (lib/idp_common_pkg/idp_common/extraction/service.py:979-1016).
+
+confidence = mean span confidence / 100 (reference rounds OCR line
+confidence to 1 dp in its text-confidence tables, ocr/service.py:1516-1556;
+we keep the raw mean, scaled to [0,1]).
+"""
+
+from __future__ import annotations
+
+import json
+
+from .boilerplate import ExtractionResult, Span
+
+PDF_MAGIC = b"%SPDF"
+LINE_TOLERANCE = 3.0
+LINE_JOIN = "\n"
+PAGE_JOIN = "\n"
+WORD_JOIN = " "
+
+
+def is_pdf_payload(content: bytes) -> bool:
+    return content.startswith(PDF_MAGIC) or content.startswith(b"%PDF")
+
+
+def parse_spans(content: bytes) -> list[dict]:
+    payload = content[len(PDF_MAGIC):]
+    data = json.loads(payload.decode("utf-8"))
+    return data["spans"]
+
+
+def reading_order_lines(spans: list[dict]) -> list[list[dict]]:
+    """Cluster spans into lines: sort by (page, y), split when page changes
+    or y gap > LINE_TOLERANCE; sort within a line by x."""
+    ordered = sorted(spans, key=lambda s: (s["page"], s["y"]))
+    lines: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_page, cur_y = None, None
+    for s in ordered:
+        if cur and (s["page"] != cur_page or s["y"] - cur_y > LINE_TOLERANCE):
+            lines.append(sorted(cur, key=lambda t: t["x"]))
+            cur = []
+        if not cur:
+            cur_page, cur_y = s["page"], s["y"]
+        cur.append(s)
+    if cur:
+        lines.append(sorted(cur, key=lambda t: t["x"]))
+    return lines
+
+
+def extract_pdf(content: bytes) -> ExtractionResult:
+    spans = parse_spans(content)
+    if not spans:
+        return ExtractionResult("", [], 0.0, 0)
+    lines = reading_order_lines(spans)
+    line_texts = [WORD_JOIN.join(s["text"] for s in line) for line in lines]
+    extracted = LINE_JOIN.join(line_texts)
+    out_spans: list[Span] = []
+    off = 0
+    for i, t in enumerate(line_texts):
+        out_spans.append(Span(start=off, end=off + len(t), block_id=i))
+        off += len(t) + len(LINE_JOIN)
+    confs = [float(s.get("confidence", 100.0)) for s in spans]
+    confidence = round((sum(confs) / len(confs)) / 100.0, 6)
+    return ExtractionResult(extracted, out_spans, confidence, len(lines))

@@ -1,0 +1,162 @@
+"""Scalar normalization + JSON-rescue functions (reference parity).
+
+Pure-Python mirrors of the reference's scalar library so pandas-UDF code and
+golden tests share one implementation:
+
+- strip_punctuation_space: evaluation/comparator.py:86-101
+- normalize_numeric:       evaluation/comparator.py:104-126
+- normalize_boolean_value: utils/__init__.py:255-275
+- convert_to_list:         evaluation/comparator.py:196-223
+- extract_json_from_text:  utils/__init__.py:115-252 (fence + brace-match
+  strategies)
+- flatten_nested_data:     evaluation/service.py:194-230 (dot / [i] paths)
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import re
+from typing import Any
+
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_WS_RE = re.compile(r"\s+")
+
+
+def strip_punctuation_space(text: Any) -> str:
+    if not isinstance(text, str):
+        text = str(text)
+    text = _PUNCT_RE.sub("", text)
+    return _WS_RE.sub(" ", text).strip().lower()
+
+
+def normalize_numeric(value: Any) -> float:
+    if isinstance(value, (int, float)):
+        return float(value)
+    if not isinstance(value, str):
+        value = str(value)
+    value = (
+        value.replace("$", "").replace(",", "").replace("(", "").replace(")", "")
+    )
+    try:
+        return float(value)
+    except (ValueError, TypeError):
+        raise ValueError(f"Cannot convert {value} to numeric value")
+
+
+_TRUTHY = {"true", "yes", "1", "y", "t"}
+_FALSY = {"false", "no", "0", "n", "f"}
+
+
+def normalize_boolean_value(value: Any) -> bool | None:
+    if isinstance(value, bool):
+        return value
+    s = str(value).strip().lower()
+    if s in _TRUTHY:
+        return True
+    if s in _FALSY:
+        return False
+    return None
+
+
+def convert_to_list(value: Any) -> list:
+    if value is None:
+        return []
+    if isinstance(value, list):
+        return value
+    if isinstance(value, str):
+        s = value.strip()
+        if s.startswith("[") and s.endswith("]"):
+            try:
+                parsed = ast.literal_eval(s)
+                if isinstance(parsed, list):
+                    return parsed
+            except (ValueError, SyntaxError):
+                pass
+        if not s:
+            return []
+        return [value]
+    return [value]
+
+
+_JSON_FENCE_RE = re.compile(r"```json\s*(.*?)\s*```", re.DOTALL)
+_ANY_FENCE_RE = re.compile(r"```\s*(.*?)\s*```", re.DOTALL)
+
+
+def _match_braces(text: str) -> str | None:
+    """Brace matching with string-escape awareness (utils/__init__.py parity)."""
+    start = text.find("{")
+    if start < 0:
+        return None
+    depth = 0
+    in_str = False
+    escape = False
+    for i in range(start, len(text)):
+        c = text[i]
+        if in_str:
+            if escape:
+                escape = False
+            elif c == "\\":
+                escape = True
+            elif c == '"':
+                in_str = False
+            continue
+        if c == '"':
+            in_str = True
+        elif c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return text[start : i + 1]
+    return None
+
+
+def extract_json_from_text(text: str) -> dict | None:
+    """Multi-strategy JSON extraction: ```json fence, ``` fence, brace match."""
+    if not text:
+        return None
+    for pattern in (_JSON_FENCE_RE, _ANY_FENCE_RE):
+        m = pattern.search(text)
+        if m:
+            try:
+                return json.loads(m.group(1))
+            except json.JSONDecodeError:
+                pass
+    candidate = _match_braces(text)
+    if candidate is not None:
+        try:
+            return json.loads(candidate)
+        except json.JSONDecodeError:
+            try:
+                return json.loads(_WS_RE.sub(" ", candidate))
+            except json.JSONDecodeError:
+                return None
+    return None
+
+
+def flatten_nested_data(data: dict, parent_key: str = "") -> dict[str, Any]:
+    """dicts -> `a.b`, lists -> `a[0].b` keys (evaluation/service.py:194-230)."""
+    flattened: dict[str, Any] = {}
+    for key, value in data.items():
+        full_key = f"{parent_key}.{key}" if parent_key else key
+        if isinstance(value, dict):
+            flattened.update(flatten_nested_data(value, full_key))
+        elif isinstance(value, list):
+            for i, item in enumerate(value):
+                if isinstance(item, dict):
+                    flattened.update(flatten_nested_data(item, f"{full_key}[{i}]"))
+                else:
+                    flattened[f"{full_key}[{i}]"] = item
+        else:
+            flattened[full_key] = value
+    return flattened
+
+
+_INDEX_RE = re.compile(r"\[\d+\]")
+
+
+def normalize_attr_pattern(path: str) -> str:
+    """`Transactions[3].Amount` -> `Transactions[].Amount` for config lookup
+    (evaluation/service.py:546-659 list-pattern matching analog)."""
+    return _INDEX_RE.sub("[]", path)

@@ -1,0 +1,130 @@
+"""Golden tests for the pure kernels — no Spark.
+
+The byte-identity surface: every fixture page's extracted_text / spans /
+confidence must match the generator's independently computed golden.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from intelligent_document_processing_on_aws_spark.fixtures.pages_gen import gen_page, gen_pages
+from intelligent_document_processing_on_aws_spark.kernels import filetype
+from intelligent_document_processing_on_aws_spark.kernels.boilerplate import extract_html
+from intelligent_document_processing_on_aws_spark.kernels.confidence import (
+    synthetic_line_blocks,
+    text_confidence_table,
+)
+from intelligent_document_processing_on_aws_spark.kernels.extract import extract_page
+from intelligent_document_processing_on_aws_spark.kernels.pagination import text_to_pages, wrap_lines
+from intelligent_document_processing_on_aws_spark.kernels.tables import (
+    format_float,
+    format_int,
+    format_pipe_table,
+)
+
+
+def test_byte_identity_sweep():
+    """Every fixture family, 300 pages: byte-identical text+spans, equal confidence."""
+    for rec in gen_pages(300):
+        ctype, res = extract_page(bytes(rec["html"]))
+        assert ctype == rec["content_type"], rec["url"]
+        assert res.extracted_text == rec["extracted_text"], rec["url"]
+        got_spans = json.dumps(
+            [[s.start, s.end, s.block_id] for s in res.spans], separators=(",", ":")
+        )
+        assert got_spans == rec["spans_json"], rec["url"]
+        assert res.confidence == pytest.approx(rec["confidence"], abs=1e-9), rec["url"]
+
+
+def test_spans_offsets_slice_text():
+    """spans must index into extracted_text exactly."""
+    for rec in gen_pages(60):
+        _, res = extract_page(bytes(rec["html"]))
+        for s in res.spans:
+            seg = res.extracted_text[s.start : s.end]
+            assert "\n" not in seg or rec["content_type"] == "html"
+            assert len(seg) == s.end - s.start
+
+
+def test_link_farm_empty():
+    rec = gen_page(2)  # family index 2 = link_farm
+    assert rec["url"].split("/")[3] == "link_farm"
+    _, res = extract_page(bytes(rec["html"]))
+    assert res.extracted_text == ""
+    assert res.confidence == 0.0
+    assert res.spans == []
+
+
+def test_filetype_detection():
+    assert filetype.detect_content_type(b"%SPDF{}") == "pdf"
+    assert filetype.detect_content_type(b"%PDF-1.7 ...") == "pdf"
+    assert filetype.detect_content_type(b"<html><body>x</body></html>") == "html"
+    assert filetype.detect_content_type(b"plain words only") == "text"
+    assert filetype.detect_content_type(b"PK\x03\x04 xl/workbook") == "xlsx"
+    assert filetype.detect_content_type(b"PK\x03\x04 word/doc") == "docx"
+    assert filetype.detect_content_type(b"\xff\xfe\x00binary") == "unknown"
+
+
+def test_pipe_table_format():
+    rows = [["Item", "Qty"], ["a", "1"], ["longer item", "12,345"]]
+    md = format_pipe_table(rows)
+    lines = md.split("\n")
+    assert lines[0] == "| Item | Qty |"
+    # separator: max(3, width)=11 and 6 dashes
+    assert lines[1] == "| " + "-" * 11 + " | " + "-" * 6 + " |"
+    assert lines[2] == "| a | 1 |"
+    assert lines[3] == "| longer item | 12,345 |"
+
+
+def test_number_formats_reference_parity():
+    # floats: {:,.2f} then strip trailing zeros/point (document_converter.py:942-947)
+    assert format_float(1234.5) == "1,234.5"
+    assert format_float(1234.0) == "1,234"
+    assert format_float(0.25) == "0.25"
+    assert format_int(1234567) == "1,234,567"
+
+
+def test_text_pagination_wrap_math():
+    # chars_per_line = (1275 - 150)//7 = 160; lines_per_page = (1650-150)//16 = 93
+    assert (1275 - 150) // 7 == 160
+    long_line = "x" * 400
+    wrapped = wrap_lines(long_line)
+    assert wrapped == ["x" * 160, "x" * 160, "x" * 80]
+    content = "\n".join(f"line {i}" for i in range(200))
+    pages = text_to_pages(content)
+    assert len(pages) == 3  # ceil(200/93)
+    assert pages[0].split("\n")[0] == "line 0"
+    assert pages[1].split("\n")[0] == "line 93"
+
+
+def test_blank_lines_preserved():
+    pages = text_to_pages("a\n\nb")
+    assert pages[0] == "a\n\nb"
+
+
+def test_text_confidence_table():
+    md = text_confidence_table(
+        [("Hello | world", 98.76, "PRINTED"), ("scrawl", 70.0, "HANDWRITING"), ("", 1.0, "PRINTED")]
+    )
+    assert md.split("\n") == [
+        "| Text | Confidence |",
+        "|:-----|:-----------|",
+        "| Hello \\| world | 98.8 |",
+        "| scrawl (HANDWRITING) | 70.0 |",
+    ]
+
+
+def test_synthetic_line_blocks():
+    blocks = synthetic_line_blocks("a\n\nb c")
+    assert [b["Text"] for b in blocks] == ["a", "b c"]
+    assert all(b["Confidence"] == 99.0 and b["BlockType"] == "LINE" for b in blocks)
+
+
+def test_html_entity_and_malformed():
+    # entity decoding + unclosed tags must not crash and must keep text
+    html = b"<html><body><p>fish &amp; chips cost ten pounds at the market today</body></html>"
+    res = extract_html(html)
+    assert res.extracted_text == "fish & chips cost ten pounds at the market today"
