@@ -50,6 +50,20 @@ def _write(recs: list[dict], cols: tuple, schema: pa.Schema, path: str) -> None:
     pq.write_table(table, path, compression="zstd")
 
 
+N_PACKETS = 400
+
+
+def build_packets(out_dir: str = FIXTURES_DIR, n: int = N_PACKETS) -> None:
+    from .packets_gen import packet_tables
+
+    tables = packet_tables(n)
+    for name, rows in tables.items():
+        cols = list(rows[0].keys())
+        table = pa.Table.from_pydict({c: [r[c] for r in rows] for c in cols})
+        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"), compression="zstd")
+        print(f"wrote {name}: {len(rows)} rows")
+
+
 def build(out_dir: str = FIXTURES_DIR) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for tier, n in TIERS.items():
@@ -57,6 +71,7 @@ def build(out_dir: str = FIXTURES_DIR) -> None:
         _write(recs, INPUT_COLS, PAGES_ARROW_SCHEMA, os.path.join(out_dir, f"{tier}_pages.parquet"))
         _write(recs, GOLDEN_COLS, GOLDEN_ARROW_SCHEMA, os.path.join(out_dir, f"{tier}_golden.parquet"))
         print(f"wrote {tier}: {n} rows")
+    build_packets(out_dir)
 
 
 if __name__ == "__main__":
