@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship extraction pipeline on the committed t1 fixture —
+pages -> vectorized boilerplate/PDF extraction -> main-content rows.
+
+queries()/oracle_sql(): one entry per implemented operator family from
+SURVEY.md §2 (see intelligent_document_processing_on_aws_spark/
+entry_queries.py for implementations + the matching DuckDB oracles).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from intelligent_document_processing_on_aws_spark.entry_queries import (  # noqa: E402
+    QUERIES,
+    oracles,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: main-content extraction over the t1 pages fixture."""
+    from intelligent_document_processing_on_aws_spark.operators.extraction import (
+        extract_pages,
+    )
+
+    pages = spark.read.parquet(
+        os.path.join(REPO_ROOT, "fixtures_data", "t1_pages.parquet")
+    )
+    return extract_pages(pages, salt_partitions=8).select(
+        "url", "extracted_text", "spans_json", "lang", "confidence", "content_type"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracles()

@@ -1,0 +1,94 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the end-to-end wall time; the extraction stage also
+reports docs/sec (the BASELINE.json acceptance metric). Scaling-efficiency
+evidence (local[8] vs local[32]) is produced by scripts/scaling_bench.py
+and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from intelligent_document_processing_on_aws_spark.entry_queries import (  # noqa: E402
+    _docs_with_dups,
+    q_ann_brute_topk,
+    q_doc_stats,
+    q_eval_metrics,
+    q_pricing_summary,
+    q_section_attributes,
+)
+from intelligent_document_processing_on_aws_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from intelligent_document_processing_on_aws_spark.operators.extraction import extract_pages  # noqa: E402
+from intelligent_document_processing_on_aws_spark.session import get_spark  # noqa: E402
+from intelligent_document_processing_on_aws_spark.sources.pages_source import synthetic_pages  # noqa: E402
+
+N_EXTRACT = int(os.environ.get("BENCH_EXTRACT_ROWS", "20000"))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("idp-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return n
+
+    # q1: extraction throughput (the acceptance metric) — generate on
+    # executors, extract, count
+    n_extract = timed(
+        "extract_synthetic",
+        lambda: extract_pages(
+            synthetic_pages(spark, N_EXTRACT, partitions=cpus * 2),
+            salt_partitions=cpus * 2,
+        ).count(),
+    )
+    extract_dps = round(n_extract / timings["extract_synthetic"], 1)
+
+    timed("doc_stats", lambda: q_doc_stats(spark, sf_dir)
+          .agg(F.sum("n_tokens"), F.avg("quality")).collect())
+    timed("dedup_ngram_jaccard",
+          lambda: ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), 0.8).count())
+    timed("dedup_minhash_lsh",
+          lambda: minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), 0.8).count())
+    timed("ann_brute_topk", lambda: q_ann_brute_topk(spark, sf_dir).count())
+    timed("pricing_summary", lambda: q_pricing_summary(spark, sf_dir).collect())
+    timed("section_attributes", lambda: q_section_attributes(spark, sf_dir).count())
+    timed("eval_metrics", lambda: q_eval_metrics(spark, sf_dir).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extract_docs_per_sec": extract_dps,
+        "extract_rows": n_extract,
+        "cpus": cpus,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

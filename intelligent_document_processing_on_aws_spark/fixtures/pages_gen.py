@@ -233,8 +233,8 @@ def _gen_pdf_like(rng: random.Random) -> dict:
         page_line_texts.append(lines)
     golden_lines = [ln for pg in page_line_texts for ln in pg]
     golden = "\n".join(golden_lines)
-    confs = [s["confidence"] for s in spans]
-    confidence = round((sum(confs) / len(confs)) / 100.0, 6)
+    conf_tenths = [round(s["confidence"] * 10) for s in spans]
+    confidence = round(sum(conf_tenths) / (len(conf_tenths) * 1000), 6)
     rng.shuffle(spans)
     payload = b"%SPDF" + json.dumps({"spans": spans}, separators=(",", ":")).encode()
     return {

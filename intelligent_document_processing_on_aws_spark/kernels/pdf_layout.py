@@ -72,6 +72,9 @@ def extract_pdf(content: bytes) -> ExtractionResult:
     for i, t in enumerate(line_texts):
         out_spans.append(Span(start=off, end=off + len(t), block_id=i))
         off += len(t) + len(LINE_JOIN)
-    confs = [float(s.get("confidence", 100.0)) for s in spans]
-    confidence = round((sum(confs) / len(confs)) / 100.0, 6)
+    # confidences are 1-dp percentages (reference rounds OCR confidence to
+    # 1 dp, ocr/service.py:1516-1556); summing them as integer tenths makes
+    # the mean independent of span order (float sums are not associative).
+    conf_tenths = [round(float(s.get("confidence", 100.0)) * 10) for s in spans]
+    confidence = round(sum(conf_tenths) / (len(conf_tenths) * 1000), 6)
     return ExtractionResult(extracted, out_spans, confidence, len(lines))

@@ -1,0 +1,223 @@
+"""Deduplication operators over a documents table.
+
+Four families, each designed for 100 TB shape:
+
+- exact_dedup: md5-groupBy — one shuffle on the hash, map-side combine.
+- ngram_jaccard_pairs: shingle explode -> self-join on shingle ->
+  pair-count / union-size Jaccard. Shuffles on the shingle key; hot
+  (ubiquitous) shingles are the skew risk at scale, so a document-frequency
+  cap drops shingles appearing in > max_df docs (standard MinHash-LSH
+  practice; exact pairs above the threshold are still found because a
+  near-dup pair shares many rare shingles too).
+- minhash_lsh_pairs: per-doc MinHash signature (Arrow-batched pure kernel),
+  banded-LSH bucket keys exploded -> bucket join -> candidate pairs ->
+  exact Jaccard verify. The scale path: candidate generation is linear in
+  corpus size, verification only touches candidates.
+- simhash_pairs: 64-bit SimHash, 4x16-bit band blocking -> candidates ->
+  exact Hamming filter via native bit ops.
+
+All emit (doc_id_a, doc_id_b) with doc_id_a < doc_id_b.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels.fingerprint import lsh_band_keys, minhash_signature, simhash64
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc rows: (doc_id, content_hash, group_size, canonical_doc_id,
+    is_duplicate). Canonical = min doc_id of the hash group."""
+    h = docs.select("doc_id", F.md5(F.col(text_col)).alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    return h.select(
+        "doc_id",
+        "content_hash",
+        F.count("*").over(w).alias("group_size"),
+        F.min("doc_id").over(w).alias("canonical_doc_id"),
+    ).withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_doc_id"))
+
+
+def _shingles_df(docs: DataFrame, text_col: str, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct; docs with < k tokens are skipped (guarded
+    on both engine and oracle sides)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    with_toks = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= k)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("toks", i + off) for off in range(k)]
+        ),
+    )
+    return with_toks.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard >= threshold over k-token shingle sets.
+
+    max_df: drop shingles present in more than max_df docs before the
+    self-join (skew guard for web-scale corpora; None = exact)."""
+    sh = _shingles_df(docs, text_col, k)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(df_counts.where(F.col("df") <= max_df), "shingle").select(
+            "doc_id", "shingle"
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+MINHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band_key", T.StringType()),
+    ]
+)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded MinHash-LSH candidates verified by exact Jaccard.
+
+    With 32 perms / 8 bands (4 rows per band) the candidate-probability
+    curve crosses ~0.5 at j ~= (1/8)^(1/4) ~= 0.59 — high recall at
+    j >= 0.8. Candidate generation: one explode + one groupBy-join on
+    band_key; verification re-computes exact Jaccard only on candidates.
+    """
+
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, keys = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                sig = minhash_signature(text or "", num_perm=num_perm, k=k)
+                for bk in lsh_band_keys(sig, bands=bands):
+                    ids.append(doc_id)
+                    keys.append(bk)
+            yield pd.DataFrame({"doc_id": ids, "band_key": keys})
+
+    band_df = docs.select("doc_id", text_col).mapInPandas(sigs, MINHASH_SCHEMA)
+    a = band_df.alias("a")
+    b = band_df.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    # exact verify: join shingle sets of candidates only
+    sh = _shingles_df(docs, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingle"))
+    pb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingle"))
+    inter = (
+        candidates.join(pa, "doc_id_a").join(pb, ["doc_id_b", "shingle"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_id_a").join(sb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def simhash_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = [simhash64(t or "") - (1 << 63) for t in pdf[text_col]]
+            # shift to signed 64-bit domain for the LongType column
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": hs})
+
+    return docs.select("doc_id", text_col).mapInPandas(run, SIMHASH_SCHEMA)
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text") -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Band blocking: 4x16-bit chunks — any pair within Hamming<=3 shares at
+    least one exact chunk (pigeonhole), so candidates = chunk-equality
+    joins; exact filter via native xor+bit_count."""
+    sh = simhash_df(docs, text_col)
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bc"),
+    ).select("doc_id", "simhash", "bc.band", "bc.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.where(hamming <= max_hamming).select(
+        "doc_id_a", "doc_id_b", hamming.alias("hamming")
+    )

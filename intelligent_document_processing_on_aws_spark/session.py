@@ -22,7 +22,8 @@ DEFAULT_CONFS = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "8g",
+    # single-JVM local mode: all "executors" share the driver heap
+    "spark.driver.memory": "24g",
 }
 
 

@@ -1,0 +1,101 @@
+"""Resume-from-checkpoint, streaming extraction, multimodal plumbing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligent_document_processing_on_aws_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+)
+from intelligent_document_processing_on_aws_spark.plans.lineage import (
+    assert_no_duplicates,
+    run_with_resume,
+)
+from intelligent_document_processing_on_aws_spark.sources.pages_source import synthetic_pages
+from intelligent_document_processing_on_aws_spark.streaming.stream_extract import (
+    start_extract_stream,
+)
+
+
+def test_resume_no_duplicates(spark, tmp_path):
+    """Kill-and-rerun semantics: first run commits half the corpus, resume
+    processes only the remainder; no url duplicated, all urls present."""
+    out = str(tmp_path / "out")
+    lineage = str(tmp_path / "lineage")
+    all_pages = synthetic_pages(spark, 120, partitions=4)
+    first_half = all_pages.where(F.xxhash64("url") % 2 == 0)
+
+    r1 = run_with_resume(spark, first_half, out, lineage, salt_partitions=4)
+    assert r1["processed"] > 0
+
+    # "resume" over the full input: only the unprocessed urls run
+    r2 = run_with_resume(spark, all_pages, out, lineage, salt_partitions=4)
+    assert r2["processed"] + r2["skipped"] == 120
+    assert r2["skipped"] == r1["processed"]
+
+    assert assert_no_duplicates(spark, out) == 120
+    # idempotent third run: nothing to do
+    r3 = run_with_resume(spark, all_pages, out, lineage, salt_partitions=4)
+    assert r3["processed"] == 0 and r3["skipped"] == 120
+
+    lin = spark.read.parquet(lineage)
+    assert lin.count() > 0
+    assert lin.agg(F.sum("n_errors")).first()[0] == 0
+
+
+def test_streaming_extract_matches_batch(spark, tmp_path, fixtures_dir):
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = spark.read.parquet(os.path.join(fixtures_dir, "t1_pages.parquet"))
+    pages.limit(60).write.parquet(src)
+
+    q = start_extract_stream(spark, src, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    result = spark.read.parquet(out)
+    golden = spark.read.parquet(os.path.join(fixtures_dir, "t1_golden.parquet"))
+    j = result.join(golden, "url")
+    assert j.count() == 60
+    assert j.where(
+        result["extracted_text"] != golden["extracted_text"]
+    ).count() == 0
+
+    # restart with same checkpoint: no new data -> no duplicates
+    q2 = start_extract_stream(spark, src, out, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 60
+
+
+def test_multimodal_features(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", (640, 480, None, None)),
+        (2, "audio", b"RIFF fake wav", (None, None, 16000, None)),
+        (3, "video", b"\x00\x00ftyp fake", (1920, 1080, None, 95)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "item_id long, modality string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    feats = {r.item_id: r for r in extract_features(df).collect()}
+    assert feats[1].n_bytes == len(b"\x89PNG fake bytes")
+    assert len(feats[2].features) == 8
+    assert all(0.0 <= x <= 1.0 for x in feats[3].features)
+    # determinism
+    again = {r.item_id: r for r in extract_features(df).collect()}
+    assert again[1].features == feats[1].features
+    assert again[1].payload_sha1 == feats[1].payload_sha1
+
+    # decode path is a clearly-marked stub
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(df, decode=True).collect()
+
+    # frame sampling fan-out: n_frames=95 every 10 -> 10 rows
+    fs = frame_sample(df, every_n=10).collect()
+    assert len(fs) == 10
+    assert [r.frame_idx for r in fs] == list(range(0, 95, 10))

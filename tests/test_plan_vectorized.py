@@ -1,0 +1,102 @@
+"""Physical-plan audits: zero per-row Python, pushdown, broadcast, codegen.
+
+The scale guarantees SURVEY.md §7 commits to:
+- no BatchEvalPython (row-at-a-time Python UDF) anywhere — Python stages
+  must be ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas;
+- parquet scans prune columns (ReadSchema) and push filters;
+- the small dimension side of evaluation joins is broadcast;
+- relational operators land in WholeStageCodegen spans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from intelligent_document_processing_on_aws_spark.config import eval_config_rows
+from intelligent_document_processing_on_aws_spark.operators.classify import classify_and_section
+from intelligent_document_processing_on_aws_spark.operators.evaluation import (
+    evaluate_attributes,
+    flatten_attributes,
+)
+from intelligent_document_processing_on_aws_spark.operators.extraction import extract_pages
+from intelligent_document_processing_on_aws_spark.operators.similarity import brute_force_topk
+from intelligent_document_processing_on_aws_spark.operators.textstats import document_stats
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _assert_no_row_python(df):
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_extraction_plan_vectorized(spark, fixtures_dir):
+    pages = spark.read.parquet(os.path.join(fixtures_dir, "t1_pages.parquet"))
+    df = extract_pages(pages, salt_partitions=4)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    # column pruning: the unused `text` column must not be read
+    formatted = _formatted(df)
+    assert "text" not in formatted.split("ReadSchema:")[-1].split("\n")[0]
+
+
+def test_sectioning_plan_no_python(spark, fixtures_dir):
+    pages = spark.read.parquet(os.path.join(fixtures_dir, "packet_pages.parquet"))
+    df = classify_and_section(pages)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan  # fully native: window + group only
+    assert "Window" in plan
+
+
+def test_evaluation_plan_broadcast_and_native(spark, fixtures_dir):
+    expected = spark.read.parquet(os.path.join(fixtures_dir, "flat_expected.parquet"))
+    actual = spark.read.parquet(os.path.join(fixtures_dir, "flat_actual.parquet"))
+    cfg = spark.createDataFrame(eval_config_rows())
+    counted = evaluate_attributes(expected, actual, cfg)
+    plan = _plan(counted)
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # config dim is broadcast
+    assert "levenshtein" in plan.lower()  # fuzzy is JVM-side
+
+
+def test_flatten_is_arrow_batched(spark, fixtures_dir):
+    attrs = spark.read.parquet(os.path.join(fixtures_dir, "golden_attributes.parquet"))
+    df = flatten_attributes(attrs)
+    plan = _plan(df)
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_topk_broadcasts_queries(spark, fixtures_dir):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    df = brute_force_topk(emb, n_queries=5, k=3)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_doc_stats_native(spark):
+    docs = spark.createDataFrame([(1, "the quick fox")], "doc_id long, text string")
+    plan = _plan(document_stats(docs))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_filter_pushdown_to_scan(spark, fixtures_dir):
+    pages = spark.read.parquet(os.path.join(fixtures_dir, "t2_pages.parquet"))
+    df = pages.where(F.col("lang") == "en").select("url", "lang")
+    formatted = _formatted(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in formatted
