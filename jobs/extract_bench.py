@@ -1,8 +1,13 @@
 """Single-parallelism extraction throughput probe (used by scaling_bench).
 
-Runs synthetic-page generation + extraction at a fixed core count, timing
-only the steady-state job (after a warmup run that absorbs JVM/Arrow
-startup). Prints one JSON line {"cores", "rows", "sec", "docs_per_sec"}.
+Measures the extraction job proper — parquet scan -> url-hash salt
+repartition -> mapInPandas extraction -> count — at a fixed core count,
+steady-state (a warmup run absorbs JVM JIT + Python worker spin-up).
+The input corpus is pre-materialized parquet (--input), so generation cost
+is not in the measured path; --synthetic falls back to executor-side
+generation for quick checks.
+
+Prints one JSON line {"cores", "rows", "sec", "docs_per_sec"}.
 """
 
 from __future__ import annotations
@@ -17,14 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from intelligent_document_processing_on_aws_spark.operators.extraction import extract_pages  # noqa: E402
 from intelligent_document_processing_on_aws_spark.session import get_spark  # noqa: E402
-from intelligent_document_processing_on_aws_spark.sources.pages_source import synthetic_pages  # noqa: E402
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
-    ap.add_argument("--rows", type=int, default=40000)
-    ap.add_argument("--warmup-rows", type=int, default=2000)
+    ap.add_argument("--input", help="pages parquet path (pre-materialized corpus)")
+    ap.add_argument("--synthetic", type=int, default=None,
+                    help="generate N rows on executors instead of reading --input")
+    ap.add_argument("--warmup-rows", type=int, default=3000)
     args = ap.parse_args()
 
     spark = get_spark(
@@ -33,14 +39,23 @@ def main() -> int:
         shuffle_partitions=args.cores,
     )
     parts = args.cores * 2
+
+    from intelligent_document_processing_on_aws_spark.sources.pages_source import (
+        synthetic_pages,
+    )
+
     # warmup: JVM JIT + Python worker pool spin-up
     extract_pages(synthetic_pages(spark, args.warmup_rows, partitions=parts)).count()
 
+    if args.input:
+        pages = spark.read.parquet(args.input)
+    elif args.synthetic:
+        pages = synthetic_pages(spark, args.synthetic, partitions=parts)
+    else:
+        ap.error("need --input or --synthetic")
+
     t0 = time.time()
-    n = extract_pages(
-        synthetic_pages(spark, args.rows, partitions=parts),
-        salt_partitions=parts,
-    ).count()
+    n = extract_pages(pages, salt_partitions=parts).count()
     dt = time.time() - t0
     print(json.dumps({
         "cores": args.cores,

@@ -1,0 +1,165 @@
+"""Summarization, assessment, metering, markdown pagination, CSV convert."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligent_document_processing_on_aws_spark.config import eval_config_rows
+from intelligent_document_processing_on_aws_spark.kernels.csv_convert import (
+    csv_to_markdown,
+    sheets_to_markdown,
+)
+from intelligent_document_processing_on_aws_spark.kernels.markdown_pages import (
+    markdown_to_pages,
+)
+from intelligent_document_processing_on_aws_spark.operators.assessment import (
+    assess_attributes,
+    threshold_alerts,
+)
+from intelligent_document_processing_on_aws_spark.operators.metering import (
+    explode_metering,
+    merge_metering,
+    with_costs,
+)
+from intelligent_document_processing_on_aws_spark.operators.summarize import (
+    assemble_document_markdown,
+    summarize_sections,
+)
+
+
+def test_markdown_pagination_header_carryover():
+    """a page break mid-table re-inserts header + separator
+    (document_converter.py:1368-1397 parity)."""
+    header = "| A | B |"
+    sep = "| --- | --- |"
+    rows = [f"| a{i} | b{i} |" for i in range(120)]
+    md = "\n".join(["intro text", header, sep] + rows)
+    pages = markdown_to_pages(md)
+    assert len(pages) == 2
+    # lines_per_page = (1650-150)//18 = 83
+    assert pages[0].split("\n")[1] == header
+    p2 = pages[1].split("\n")
+    assert p2[0] == header and p2[1] == sep  # carryover
+    assert p2[2] == rows[83 - 3]  # continuation row follows
+
+
+def test_markdown_pagination_no_table():
+    md = "\n".join(f"line {i}" for i in range(200))
+    pages = markdown_to_pages(md)
+    assert len(pages) == 3
+    assert pages[1].split("\n")[0] == "line 83"
+
+
+def test_csv_to_markdown_formats():
+    csv_text = "Item,Qty,Price\nwidget,2,1234.5\ngadget,1000,0.25\n"
+    md = csv_to_markdown(csv_text)
+    lines = md.split("\n")
+    assert lines[0] == "| Item | Qty | Price |"
+    assert lines[2] == "| widget | 2 | 1,234.5 |"
+    assert lines[3] == "| gadget | 1,000 | 0.25 |"
+
+
+def test_csv_mixed_column_stays_string():
+    md = csv_to_markdown("a,b\n1,x\n2,y\n")
+    assert "| 1 | x |" in md
+
+
+def test_sheets_markdown_headers_only_when_multi():
+    one = sheets_to_markdown({"Sheet1": "a,b\n1,2\n"})
+    assert "## Sheet1" not in one
+    two = sheets_to_markdown({"S1": "a\n1\n", "S2": "b\n2\n"})
+    assert "## S1" in two and "## S2" in two
+
+
+def test_summarize_and_assemble(spark):
+    rows = [
+        (1, "1", "invoice", " ".join(f"w{i}" for i in range(50))),
+        (1, "2", "webpage", "short text"),
+        (2, "1", "bank_statement", " ".join(f"x{i}" for i in range(30))),
+    ]
+    secs = spark.createDataFrame(
+        rows, "doc_id long, section_id string, classification string, section_text string"
+    )
+    summ = {(r.doc_id, r.section_id): r.summary
+            for r in summarize_sections(secs).collect()}
+    assert summ[(1, "1")] == " ".join(f"w{i}" for i in range(25))
+    assert summ[(1, "2")] == "short text"
+
+    docs = {r.doc_id: r for r in
+            assemble_document_markdown(summarize_sections(secs)).collect()}
+    md = docs[1].document_markdown
+    assert md.startswith("# Document 1")
+    assert "## Table of Contents" in md
+    assert "- [Section 1: invoice](#section-1)" in md
+    assert "## Section 2: webpage" in md
+    assert docs[1].n_sections == 2
+    # section order is numeric
+    assert md.index("## Section 1:") < md.index("## Section 2:")
+
+
+def test_assessment_confidence_tiers(spark):
+    flat = spark.createDataFrame(
+        [
+            (1, "1", "invoice", "invoice_number", "INV-1"),     # verbatim
+            (1, "1", "invoice", "vendor_name", "ACME CORP."),   # normalized only
+            (1, "1", "invoice", "total", "99.99"),              # ungrounded
+            (1, "1", "invoice", "date", None),                  # missing
+        ],
+        "doc_id long, section_id string, classification string, attr_path string, value string",
+    )
+    secs = spark.createDataFrame(
+        [(1, "1", "INVOICE NO: INV-1\nVENDOR: acme corp\nTOTAL: $5.00")],
+        "doc_id long, section_id string, section_text string",
+    )
+    cfg = spark.createDataFrame(eval_config_rows())
+    assessed = {r.attr_path: r for r in
+                assess_attributes(flat, secs, cfg).collect()}
+    assert assessed["invoice_number"].confidence == 0.99
+    assert assessed["vendor_name"].confidence == 0.7
+    assert assessed["total"].confidence == 0.1
+    assert assessed["date"].confidence == 0.0
+    # alerts: total (0.1 < 0.8) and date (0.0 < 0.8), vendor 0.7 < 0.8 fuzzy thr
+    alerts = threshold_alerts(assess_attributes(flat, secs, cfg)).collect()
+    alert_paths = {r.attr_path for r in alerts}
+    assert "total" in alert_paths and "date" in alert_paths
+    assert "invoice_number" not in alert_paths
+
+
+def test_assessment_on_fixtures(spark, fixtures_dir):
+    flat = spark.read.parquet(os.path.join(fixtures_dir, "flat_actual.parquet"))
+    secs = spark.read.parquet(os.path.join(fixtures_dir, "golden_sections.parquet"))
+    cfg = spark.createDataFrame(eval_config_rows())
+    assessed = assess_attributes(flat, secs, cfg)
+    n = assessed.count()
+    assert n == flat.count()
+    # perturbed values must produce some alerts, and verbatim ones none
+    counts = assessed.groupBy("alert").count().collect()
+    d = {r.alert: r["count"] for r in counts}
+    assert d.get(True, 0) > 0 and d.get(False, 0) > 0
+
+
+def test_metering_merge_and_costs(spark):
+    rows = [
+        ("d1", json.dumps({"ocr": {"pages": 3}, "extract": {"tokens": "1200"}})),
+        ("d2", json.dumps({"ocr": {"pages": 2}, "extract": {"tokens": 800, "requests": "bad"}})),
+    ]
+    df = spark.createDataFrame(rows, "document_id string, metering_json string")
+    exploded = explode_metering(df)
+    merged = {(r.service_api, r.unit): r for r in merge_metering(exploded).collect()}
+    assert merged[("ocr", "pages")].value == 5.0
+    assert merged[("extract", "tokens")].value == 2000.0
+    assert merged[("extract", "requests")].value == 0.0  # str->float coercion failure -> 0
+    assert merged[("ocr", "pages")].n_documents == 2
+
+    pricing = spark.createDataFrame(
+        [("ocr", "pages", 0.01), ("extract", "tokens", 0.000002)],
+        "service_api string, unit string, unit_cost double",
+    )
+    costed = {(r.service_api, r.unit): r
+              for r in with_costs(merge_metering(exploded), pricing).collect()}
+    assert costed[("ocr", "pages")].estimated_cost == pytest.approx(0.05)
+    assert costed[("extract", "requests")].estimated_cost == 0.0
