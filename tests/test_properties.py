@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the pure kernels."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from intelligent_document_processing_on_aws_spark.fixtures.packets_gen import _unflatten
+from intelligent_document_processing_on_aws_spark.kernels.compare import (
+    compare_fuzzy,
+    fuzz_score,
+    hungarian_min_cost,
+    levenshtein,
+)
+from intelligent_document_processing_on_aws_spark.kernels.fingerprint import (
+    hamming64,
+    jaccard,
+    simhash64,
+)
+from intelligent_document_processing_on_aws_spark.kernels.pagination import (
+    text_to_pages,
+    wrap_lines,
+)
+from intelligent_document_processing_on_aws_spark.kernels.textnorm import (
+    flatten_nested_data,
+)
+
+words = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+texts = st.lists(words, min_size=0, max_size=40).map(" ".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts, texts)
+def test_levenshtein_metric_properties(a, b):
+    d = levenshtein(a, b)
+    assert d == levenshtein(b, a)
+    assert d == 0 if a == b else d >= 1
+    assert d <= max(len(a), len(b))
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts, texts)
+def test_fuzzy_score_bounds(a, b):
+    s = fuzz_score(a, b)
+    assert 0.0 <= s <= 1.0
+    matched, score = compare_fuzzy(a, b, 0.8)
+    assert matched == (score >= 0.8) or (not a.strip() and not b.strip())
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(2, 5), st.integers(0, 10**6))
+def test_hungarian_vs_bruteforce(n, seed):
+    rng = random.Random(seed)
+    cost = [[rng.uniform(0, 1) for _ in range(n)] for _ in range(n)]
+    best = min(
+        sum(cost[i][p[i]] for i in range(n))
+        for p in itertools.permutations(range(n))
+    )
+    got = sum(cost[i][j] for i, j in hungarian_min_cost(cost))
+    assert abs(got - best) < 1e-9
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(2, 4), st.integers(2, 5), st.integers(0, 10**6))
+def test_hungarian_rectangular(rows, cols, seed):
+    rng = random.Random(seed)
+    cost = [[rng.uniform(0, 1) for _ in range(cols)] for _ in range(rows)]
+    pairs = hungarian_min_cost(cost)
+    assert len(pairs) == min(rows, cols)
+    assert len({i for i, _ in pairs}) == len(pairs)
+    assert len({j for _, j in pairs}) == len(pairs)
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts)
+def test_jaccard_self_identity(t):
+    assert jaccard(t, t) == 1.0
+    assert 0 <= hamming64(simhash64(t), simhash64(t + " zz")) <= 64
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet="ab \n", max_size=400))
+def test_pagination_preserves_nonblank_content(content):
+    """wrap+paginate must preserve all non-whitespace characters in order."""
+    pages = text_to_pages(content)
+    joined = "".join(pages)
+    assert "".join(joined.split()) == "".join(content.split())
+    for line in wrap_lines(content):
+        assert len(line) <= 160
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcXYZ_", min_size=1, max_size=8).filter(
+            lambda s: "[" not in s and "." not in s
+        ),
+        st.one_of(
+            st.text(max_size=5),
+            st.dictionaries(
+                st.text(alphabet="mn", min_size=1, max_size=3),
+                st.text(max_size=4),
+                max_size=3,
+            ),
+            st.lists(
+                st.dictionaries(
+                    st.text(alphabet="pq", min_size=1, max_size=3),
+                    st.text(max_size=4),
+                    min_size=1,
+                    max_size=2,
+                ),
+                max_size=3,
+            ),
+        ),
+        max_size=5,
+    )
+)
+def test_flatten_unflatten_roundtrip(data):
+    flat = flatten_nested_data(data)
+    # dropping empty containers is expected; compare via re-flatten
+    assert flatten_nested_data(_unflatten(flat)) == flat
