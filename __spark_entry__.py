@@ -28,10 +28,14 @@ from intelligent_document_processing_on_aws_spark.entry_queries import (  # noqa
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: main-content extraction over the t1 pages fixture."""
+    from intelligent_document_processing_on_aws_spark.entry_queries import (
+        ensure_workers,
+    )
     from intelligent_document_processing_on_aws_spark.operators.extraction import (
         extract_pages,
     )
 
+    ensure_workers(spark)
     pages = spark.read.parquet(
         os.path.join(REPO_ROOT, "fixtures_data", "t1_pages.parquet")
     )

@@ -92,6 +92,35 @@ def test_pagination_preserves_nonblank_content(content):
         assert len(line) <= 160
 
 
+html_fragments = st.lists(
+    st.one_of(
+        st.text(alphabet="abc <>/&;#xp!-=\"'", max_size=20),
+        st.sampled_from(
+            ["<p>", "</p>", "<div>", "</div>", "<a href='x'>", "</a>",
+             "<table>", "<tr>", "<td>", "</td>", "</tr>", "</table>",
+             "<script>", "</script>", "&amp;", "&#65;", "<!--", "-->",
+             "<nav>", "</nav>", "<article>", "</article>", "<br>", "<title>"]
+        ),
+    ),
+    max_size=30,
+).map("".join)
+
+
+@settings(max_examples=80, deadline=None)
+@given(html_fragments)
+def test_html_extraction_total(html):
+    """extract_html must never raise on arbitrary tag soup, and always
+    return consistent spans/confidence."""
+    from intelligent_document_processing_on_aws_spark.kernels.boilerplate import (
+        extract_html,
+    )
+
+    res = extract_html(html.encode("utf-8"))
+    assert 0.0 <= res.confidence <= 1.0
+    for s in res.spans:
+        assert res.extracted_text[s.start:s.end] != "" or s.start == s.end
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     st.dictionaries(
