@@ -96,6 +96,121 @@ def cosine_pairs(
     )
 
 
+# -- IVF (inverted-file) ANN ---------------------------------------------------
+
+def build_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    sample: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic k-means centroids from a bounded driver-side sample
+    (index build = small metadata, like loading any ANN index; the corpus
+    itself is never collected). L2-normalized so assignment maximizes
+    cosine."""
+    rows = (
+        embeddings.orderBy(id_col).limit(sample).select(vec_col).collect()
+    )
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rs = np.random.RandomState(seed)
+    C = X[rs.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+IVF_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("centroid", T.IntegerType()),
+    ]
+)
+
+
+def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment — one numpy matmul per Arrow batch."""
+    C = centroids
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "centroid": np.argmax(M @ C.T, axis=1).astype(np.int32),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(run, IVF_SCHEMA)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus partitioned into centroid cells; each query probes
+    its n_probe nearest cells; exact cosine re-rank within candidates.
+    Candidate volume ~ corpus * n_probe / n_centroids per query."""
+    spark = embeddings.sparkSession
+    C = build_ivf_centroids(embeddings, n_centroids, seed=seed,
+                            id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(embeddings, C, id_col, vec_col)
+    corpus = embeddings.join(assigned, embeddings[id_col] == assigned["vec_id"]).select(
+        embeddings[id_col].alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "centroid",
+    )
+    # query-side probe lists (driver-side: n_queries is small by contract)
+    q_rows = (
+        embeddings.where(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    probe_rows = []
+    for r in q_rows:
+        v = np.asarray(r[1], dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        order = np.argsort(-(C @ v))[:n_probe]
+        for c in order:
+            probe_rows.append((int(r[0]), list(map(float, r[1])), int(c)))
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id long, q_vec array<float>, centroid int"
+    )
+    scored = corpus.join(
+        F.broadcast(probes),
+        (corpus["centroid"] == probes["centroid"])
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
 # -- random-hyperplane LSH ----------------------------------------------------
 
 def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:

@@ -31,6 +31,8 @@ def main() -> int:
     ap.add_argument("--synthetic", type=int, default=None,
                     help="generate N rows on executors instead of reading --input")
     ap.add_argument("--warmup-rows", type=int, default=3000)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed repetitions; best rep reported (host noise)")
     args = ap.parse_args()
 
     spark = get_spark(
@@ -54,14 +56,19 @@ def main() -> int:
     else:
         ap.error("need --input or --synthetic")
 
-    t0 = time.time()
-    n = extract_pages(pages, salt_partitions=parts).count()
-    dt = time.time() - t0
+    times = []
+    n = 0
+    for _ in range(args.reps):
+        t0 = time.time()
+        n = extract_pages(pages, salt_partitions=parts).count()
+        times.append(time.time() - t0)
+    dt = min(times)
     print(json.dumps({
         "cores": args.cores,
         "rows": n,
         "sec": round(dt, 3),
         "docs_per_sec": round(n / dt, 1),
+        "all_reps_sec": [round(t, 3) for t in times],
     }))
     spark.stop()
     return 0

@@ -147,3 +147,22 @@ def test_cosine_pairs_threshold(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = cosine_pairs(df, threshold=0.95).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    from intelligent_document_processing_on_aws_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = brute_force_topk(df, n_queries=5, k=5).collect()
+    ivf = ivf_topk(df, n_queries=5, k=5, n_centroids=8, n_probe=4).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in brute}
+    got = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, recall  # 4/8 cells probed on isotropic data
+    # determinism: same call twice -> identical
+    again = {(r.query_id, r.rank, r.neighbor_id)
+             for r in ivf_topk(df, n_queries=5, k=5, n_centroids=8, n_probe=4).collect()}
+    assert again == {(r.query_id, r.rank, r.neighbor_id) for r in ivf}

@@ -99,3 +99,54 @@ def test_multimodal_features(spark):
     fs = frame_sample(df, every_n=10).collect()
     assert len(fs) == 10
     assert [r.frame_idx for r in fs] == list(range(0, 95, 10))
+
+
+def test_windowed_rollup_stream_equals_batch(spark, tmp_path):
+    """Streaming windowed agg (with watermark) over a drained file source
+    equals the batch expression on the same data."""
+    import datetime as dt
+
+    from intelligent_document_processing_on_aws_spark.streaming.windowed import (
+        streaming_windowed_rollup,
+        windowed_event_rollup,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=7 * i), f"t{i % 3}", float(i))
+        for i in range(100)
+    ]
+    src = str(tmp_path / "ev_src")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        streaming_windowed_rollup(stream, "1 hour", "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (str(r.window_start), r.event_type): (r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    # append mode only emits windows finalized by the watermark: windows
+    # whose end <= max event time (watermark delay 0). The final in-flight
+    # window stays in state — expected Structured Streaming semantics.
+    max_ts = max(r[1] for r in rows)
+    want = {
+        (str(r.window_start), r.event_type): (r.n_events, r.total_value)
+        for r in windowed_event_rollup(df, "1 hour").collect()
+        if r.window_start + dt.timedelta(hours=1) <= max_ts
+    }
+    assert got == want and len(want) > 10
