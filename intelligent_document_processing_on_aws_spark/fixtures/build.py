@@ -64,6 +64,35 @@ def build_packets(out_dir: str = FIXTURES_DIR, n: int = N_PACKETS) -> None:
         print(f"wrote {name}: {len(rows)} rows")
 
 
+N_OFFICE = 120
+
+
+def build_office(out_dir: str = FIXTURES_DIR, n: int = N_OFFICE) -> None:
+    from .office_gen import gen_office_docs
+
+    docs = gen_office_docs(n)
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "kind": [d["kind"] for d in docs],
+            "payload": [d["payload"] for d in docs],
+        },
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("kind", pa.string()), ("payload", pa.binary())]
+        ),
+    )
+    pq.write_table(table, os.path.join(out_dir, "office_docs.parquet"), compression="zstd")
+    golden = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "kind": [d["kind"] for d in docs],
+            "extracted_text": [d["extracted_text"] for d in docs],
+        }
+    )
+    pq.write_table(golden, os.path.join(out_dir, "office_golden.parquet"), compression="zstd")
+    print(f"wrote office_docs/office_golden: {n} rows")
+
+
 def build(out_dir: str = FIXTURES_DIR) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for tier, n in TIERS.items():
@@ -72,6 +101,7 @@ def build(out_dir: str = FIXTURES_DIR) -> None:
         _write(recs, GOLDEN_COLS, GOLDEN_ARROW_SCHEMA, os.path.join(out_dir, f"{tier}_golden.parquet"))
         print(f"wrote {tier}: {n} rows")
     build_packets(out_dir)
+    build_office(out_dir)
 
 
 if __name__ == "__main__":

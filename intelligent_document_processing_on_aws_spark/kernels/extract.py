@@ -36,6 +36,14 @@ def extract_page(content: bytes) -> tuple[str, ExtractionResult]:
         return ctype, extract_pdf(content)
     if ctype in (filetype.HTML,):
         return ctype, extract_html(content)
+    if ctype == filetype.DOCX:
+        from .office import extract_docx
+
+        return ctype, extract_docx(content)
+    if ctype == filetype.XLSX:
+        from .office import extract_xlsx
+
+        return ctype, extract_xlsx(content)
     if ctype == filetype.TEXT:
         # plain text: everything is main content, paginated per the
         # reference's text converter math then re-joined page-wise.

@@ -1,0 +1,158 @@
+"""DOCX / XLSX decoders — stdlib only (zipfile + ElementTree).
+
+Reference parity targets:
+- docx -> formatted elements: paragraphs in body order + tables
+  (lib/idp_common_pkg/idp_common/ocr/document_converter.py:223-381);
+  output = paragraph texts and pipe-markdown tables joined with "\\n".
+- xlsx -> markdown: per-sheet tables, `## sheet` headers only when more
+  than one sheet (document_converter.py:164-221, 969-1107); numeric cells
+  formatted with the reference float/int formats (tables.py).
+
+Both operate on raw bytes (the `html`/payload binary column) inside the
+same Arrow-batched extraction stage; no python-docx/openpyxl required.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+
+from .boilerplate import ExtractionResult, Span
+from .csv_convert import _column_kind, _format_cell
+from .tables import format_pipe_table
+
+W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+S_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _docx_cell_text(tc) -> str:  # noqa: ANN001
+    return " ".join(
+        "".join(t.text or "" for t in p.iter(f"{W_NS}t"))
+        for p in tc.iter(f"{W_NS}p")
+    ).strip()
+
+
+def docx_to_parts(payload: bytes) -> list[str]:
+    """Body-ordered parts: paragraph texts and markdown-rendered tables."""
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        xml = zf.read("word/document.xml")
+    root = ET.fromstring(xml)
+    body = root.find(f"{W_NS}body")
+    parts: list[str] = []
+    if body is None:
+        return parts
+    for child in body:
+        if child.tag == f"{W_NS}p":
+            text = "".join(t.text or "" for t in child.iter(f"{W_NS}t")).strip()
+            if text:
+                parts.append(text)
+        elif child.tag == f"{W_NS}tbl":
+            rows = [
+                [_docx_cell_text(tc) for tc in tr.findall(f"{W_NS}tc")]
+                for tr in child.findall(f"{W_NS}tr")
+            ]
+            rows = [r for r in rows if r]
+            md = format_pipe_table(rows)
+            if md:
+                parts.append(md)
+    return parts
+
+
+def _xlsx_sheet_rows(xml: bytes, shared: list[str]) -> list[list[str]]:
+    root = ET.fromstring(xml)
+    out: list[list[str]] = []
+    for row in root.iter(f"{S_NS}row"):
+        cells: list[str] = []
+        for c in row.findall(f"{S_NS}c"):
+            t = c.get("t")
+            if t == "inlineStr":
+                is_el = c.find(f"{S_NS}is")
+                cells.append(
+                    "".join(x.text or "" for x in is_el.iter(f"{S_NS}t"))
+                    if is_el is not None else ""
+                )
+            elif t == "s":
+                v = c.find(f"{S_NS}v")
+                idx = int(v.text) if v is not None and v.text else 0
+                cells.append(shared[idx] if idx < len(shared) else "")
+            else:
+                v = c.find(f"{S_NS}v")
+                cells.append(v.text if v is not None and v.text else "")
+        if cells:
+            out.append(cells)
+    return out
+
+
+def xlsx_to_sheets(payload: bytes) -> dict[str, list[list[str]]]:
+    """{sheet_name: rows} in workbook order."""
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        names = zf.namelist()
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            sroot = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            shared = [
+                "".join(t.text or "" for t in si.iter(f"{S_NS}t"))
+                for si in sroot.iter(f"{S_NS}si")
+            ]
+        sheet_names: list[str] = []
+        if "xl/workbook.xml" in names:
+            wb = ET.fromstring(zf.read("xl/workbook.xml"))
+            sheet_names = [
+                s.get("name", f"Sheet{i + 1}")
+                for i, s in enumerate(wb.iter(f"{S_NS}sheet"))
+            ]
+        sheets: dict[str, list[list[str]]] = {}
+        sheet_files = sorted(
+            n for n in names
+            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        for i, fname in enumerate(sheet_files):
+            name = sheet_names[i] if i < len(sheet_names) else f"Sheet{i + 1}"
+            sheets[name] = _xlsx_sheet_rows(zf.read(fname), shared)
+    return sheets
+
+
+def xlsx_to_markdown(payload: bytes) -> str:
+    """Per-sheet markdown with reference numeric formats; `## sheet` headers
+    only when more than one sheet."""
+    sheets = xlsx_to_sheets(payload)
+    parts: list[str] = []
+    multi = len(sheets) > 1
+    for name, rows in sheets.items():
+        if multi:
+            parts.append(f"## {name}")
+        if not rows:
+            continue
+        header, data = rows[0], rows[1:]
+        ncols = len(header)
+        kinds = [
+            _column_kind([r[c] for r in data if c < len(r)]) for c in range(ncols)
+        ]
+        out_rows = [header] + [
+            [_format_cell(r[c], kinds[c]) if c < len(r) else "" for c in range(ncols)]
+            for r in data
+        ]
+        parts.append(format_pipe_table(out_rows))
+    return "\n\n".join(parts)
+
+
+def _result_from_parts(parts: list[str], sep: str = "\n") -> ExtractionResult:
+    text = sep.join(parts)
+    spans: list[Span] = []
+    off = 0
+    for i, p in enumerate(parts):
+        spans.append(Span(off, off + len(p), i))
+        off += len(p) + len(sep)
+    return ExtractionResult(text, spans, 1.0 if text else 0.0, len(parts))
+
+
+def extract_docx(payload: bytes) -> ExtractionResult:
+    return _result_from_parts(docx_to_parts(payload), "\n")
+
+
+def extract_xlsx(payload: bytes) -> ExtractionResult:
+    md = xlsx_to_markdown(payload)
+    parts = md.split("\n\n") if md else []
+    return _result_from_parts(parts, "\n\n")

@@ -128,3 +128,48 @@ def test_html_entity_and_malformed():
     html = b"<html><body><p>fish &amp; chips cost ten pounds at the market today</body></html>"
     res = extract_html(html)
     assert res.extracted_text == "fish & chips cost ten pounds at the market today"
+
+
+def test_office_byte_identity():
+    """DOCX/XLSX decode branch: stdlib zip+XML parse vs independent goldens."""
+    from intelligent_document_processing_on_aws_spark.fixtures.office_gen import gen_office_docs
+
+    for d in gen_office_docs(60):
+        ctype, res = extract_page(d["payload"])
+        assert ctype == d["kind"], d["doc_id"]
+        assert res.extracted_text == d["extracted_text"], d["doc_id"]
+        for s in res.spans:
+            assert res.extracted_text[s.start:s.end] == res.extracted_text[s.start:s.end]
+
+
+def test_docx_table_and_paragraph_order():
+    from intelligent_document_processing_on_aws_spark.fixtures.office_gen import _docx_payload
+    from intelligent_document_processing_on_aws_spark.kernels.office import docx_to_parts
+
+    payload = _docx_payload(["first para", "second para"], [["H1", "H2"], ["a", "b"]])
+    parts = docx_to_parts(payload)
+    assert parts[0] == "first para" and parts[1] == "second para"
+    assert parts[2].startswith("| H1 | H2 |")
+
+
+def test_xlsx_shared_strings_path():
+    """sharedStrings indirection (the common real-world encoding)."""
+    import io
+    import zipfile
+
+    from intelligent_document_processing_on_aws_spark.kernels.office import xlsx_to_sheets
+
+    S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml",
+                    f'<workbook xmlns="{S}"><sheets><sheet name="X" sheetId="1"/></sheets></workbook>')
+        zf.writestr("xl/sharedStrings.xml",
+                    f'<sst xmlns="{S}"><si><t>hello</t></si><si><t>world</t></si></sst>')
+        zf.writestr("xl/worksheets/sheet1.xml",
+                    f'<worksheet xmlns="{S}"><sheetData>'
+                    f'<row r="1"><c t="s"><v>0</v></c><c t="s"><v>1</v></c></row>'
+                    f'<row r="2"><c><v>42</v></c><c t="s"><v>0</v></c></row>'
+                    f"</sheetData></worksheet>")
+    sheets = xlsx_to_sheets(buf.getvalue())
+    assert sheets == {"X": [["hello", "world"], ["42", "hello"]]}
