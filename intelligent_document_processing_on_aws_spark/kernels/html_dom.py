@@ -243,7 +243,7 @@ def _fast_feed(parser: _BlockParser, html: str) -> None:
             parser.handle_data("<")
             pos = lt + 1
             continue
-        end_tag, start_tag, attrs = m.group(1), m.group(2), m.group(3)
+        end_tag, start_tag, attrs = m.groups()
         pos = m.end()
         if end_tag:
             parser.handle_endtag(end_tag.lower())
