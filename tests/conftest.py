@@ -13,9 +13,20 @@ FIXTURES_DIR = os.path.join(REPO_ROOT, "fixtures_data")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from intelligent_document_processing_on_aws_spark.session import get_spark
 
-    s = get_spark("idp-spark-tests", master="local[4]", shuffle_partitions=4)
+    scratch = tempfile.mkdtemp(prefix="idp_spark_wh_")
+    s = get_spark(
+        "idp-spark-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        **{
+            "spark.sql.warehouse.dir": f"{scratch}/warehouse",
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={scratch}/derby",
+        },
+    )
     yield s
     s.stop()
 
