@@ -150,3 +150,47 @@ def test_windowed_rollup_stream_equals_batch(spark, tmp_path):
         if r.window_start + dt.timedelta(hours=1) <= max_ts
     }
     assert got == want and len(want) > 10
+
+
+def test_stateful_streaming_dedup(spark, tmp_path, fixtures_dir):
+    """applyInPandasWithState dedup: duplicates across micro-batches are
+    suppressed; state survives between triggers via the checkpoint."""
+
+    from intelligent_document_processing_on_aws_spark.streaming.stateful_dedup import (
+        stream_dedup,
+    )
+
+    src = str(tmp_path / "dd_src")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    os.makedirs(src)
+    pages = spark.read.parquet(os.path.join(fixtures_dir, "t1_pages.parquet"))
+    batch1 = pages.limit(40)
+    batch1.write.parquet(src + "/b1.parquet")
+
+    def run_trigger():
+        stream = spark.readStream.schema(pages.schema).parquet(src + "/*.parquet")
+        q = (
+            stream_dedup(stream, n_buckets=8)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_trigger()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 40
+
+    # batch 2: 20 duplicates of batch 1 + 20 new pages
+    dup = pages.limit(20)
+    new = pages.orderBy("url").limit(60).subtract(batch1).limit(20)
+    dup.unionAll(new).write.parquet(src + "/b2.parquet")
+    run_trigger()
+
+    final = spark.read.parquet(out)
+    assert final.count() == 60  # 40 + 20 new, 20 dups suppressed by state
+    assert final.select("content_hash").distinct().count() == 60
