@@ -96,6 +96,41 @@ def cosine_pairs(
     )
 
 
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for cosine near-dup pairs: n_tables independent
+    hyperplane-LSH bucketings generate candidates (same bucket in ANY
+    table), exact cosine verifies. Candidate volume ~ n_tables *
+    sum(bucket^2) instead of corpus^2."""
+    cand = None
+    for t in range(n_tables):
+        b = lsh_buckets(embeddings, dim, n_bits, seed=42 + t, id_col=id_col,
+                        vec_col=vec_col)
+        a1 = b.select(F.col("vec_id").alias("id_a"), F.col("bucket"))
+        a2 = b.select(F.col("vec_id").alias("id_b"), F.col("bucket"))
+        pairs = a1.join(a2, ["bucket"]).where(F.col("id_a") < F.col("id_b")) \
+            .select("id_a", "id_b")
+        cand = pairs if cand is None else cand.unionAll(pairs)
+    cand = cand.distinct()
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 # -- IVF (inverted-file) ANN ---------------------------------------------------
 
 def build_ivf_centroids(

@@ -166,3 +166,22 @@ def test_ivf_topk_recall_vs_brute(spark):
     again = {(r.query_id, r.rank, r.neighbor_id)
              for r in ivf_topk(df, n_queries=5, k=5, n_centroids=8, n_probe=4).collect()}
     assert again == {(r.query_id, r.rank, r.neighbor_id) for r in ivf}
+
+
+def test_lsh_cosine_pairs_recall(spark):
+    from intelligent_document_processing_on_aws_spark.operators.similarity import (
+        lsh_cosine_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=(60, 16)).astype(np.float32)
+    near = base[:15] + rng.normal(scale=0.03, size=(15, 16)).astype(np.float32)
+    vecs = np.vstack([base, near])  # ids 60..74 are twins of 0..14
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(75)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    truth = {(r.id_a, r.id_b) for r in cosine_pairs(df, threshold=0.95).collect()}
+    got = {(r.id_a, r.id_b) for r in
+           lsh_cosine_pairs(df, 0.95, dim=16, n_bits=6, n_tables=4).collect()}
+    assert got <= truth            # no false positives (exact verify)
+    assert len(got) >= 0.8 * len(truth)  # multi-table recall
+    assert truth                   # planted twins must be above threshold
