@@ -206,6 +206,16 @@ separate JVM per probe.
   **{high['docs_per_sec'] / low_raw['docs_per_sec']:.2f}x** (ideal {factor:.0f}x),
   efficiency **{eff_raw:.3f}**
 {norm_section}
+### vs the reference's own throughput envelope
+
+The reference's published performance envelope (BASELINE.md) tops out at a
+load-simulation target of **500 docs/min sustained (~8.3 docs/s)** across
+its whole serverless deployment (Textract quota 10-25 TPS, 5 concurrent
+workflows default). This engine's single-node extraction throughput of
+**{cap_high:,.0f} docs/s** exceeds that envelope by ~**{cap_high / 8.3:,.0f}x**
+on one 32-core box — the pure-heuristic Arrow-batched kernels replace the
+per-page remote OCR/LLM round-trips that bound the reference.
+
 ### Why the job itself scales
 
 The extraction stage is embarrassingly parallel: per-partition work is
