@@ -91,6 +91,7 @@ class _BlockParser(HTMLParser):
         self.blocks: list[Block] = []
         self._stack: list[str] = []
         self._parts: list[tuple[str, bool]] = []  # (text, inside <a>)
+        self._has_link = False  # any link part pending (skip link math if not)
         self._a_depth = 0
         self._skip_depth = 0
         self._table: _TableState | None = None
@@ -170,7 +171,11 @@ class _BlockParser(HTMLParser):
             if self._table.in_cell:
                 self._table.cur_cell.append(data)
             return
-        self._parts.append((data, self._a_depth > 0))
+        if self._a_depth:
+            self._parts.append((data, True))
+            self._has_link = True
+        else:
+            self._parts.append((data, False))
 
     # -- helpers -----------------------------------------------------------
     def _end_row(self) -> None:
@@ -184,13 +189,21 @@ class _BlockParser(HTMLParser):
             self._table.cur_row = []
 
     def _emit_pending(self) -> None:
-        if not self._parts:
+        parts = self._parts
+        if not parts:
             return
-        raw = "".join(t for t, _ in self._parts)
+        if len(parts) == 1:
+            raw = parts[0][0]
+        else:
+            raw = "".join(t for t, _ in parts)
         text = collapse_ws(raw)
-        link_chars = sum(
-            len(collapse_ws(t)) for t, is_link in self._parts if is_link
-        )
+        if self._has_link:
+            link_chars = sum(
+                len(collapse_ws(t)) for t, is_link in parts if is_link
+            )
+            self._has_link = False
+        else:
+            link_chars = 0
         self._parts = []
         if text:
             self.blocks.append(
