@@ -71,6 +71,18 @@ def gen_page(i: int) -> dict:
 
 # -- template families -------------------------------------------------------
 
+def _inline_markup(rng: random.Random, text: str) -> str:
+    """Wrap one word in inline formatting (golden-neutral: same visible
+    text after whitespace collapse)."""
+    words = text.split()
+    if len(words) < 3:
+        return text
+    i = rng.randrange(len(words))
+    tag = rng.choice(("b", "em", "strong", "i", "span"))
+    words[i] = f"<{tag}>{words[i]}</{tag}>"
+    return " ".join(words)
+
+
 def _gen_article(rng: random.Random) -> dict:
     title = _sentence(rng, 4)
     paras = [_sentence(rng, 15 + rng.randrange(26)) for _ in range(2 + rng.randrange(4))]
@@ -78,12 +90,21 @@ def _gen_article(rng: random.Random) -> dict:
     nav_text = " ".join(NAV_LINKS)
     aside_text = " ".join(ads)
     footer_text = " ".join(FOOTER_LINKS)
+    # golden-neutral hardening: inline markup inside paragraphs, comments
+    # between them, a script in body, nested div wrapper around <article>
+    paras_html = []
+    for p in paras:
+        ph = _inline_markup(rng, p) if rng.random() < 0.6 else p
+        paras_html.append(f"<p>{ph}</p>")
+        if rng.random() < 0.3:
+            paras_html.append(f"<!-- comment {rng.randrange(99)} -->")
     html = (
-        "<!DOCTYPE html><html><head><title>" + title + "</title></head><body>\n"
+        "<!DOCTYPE html><html><head><title>" + title + "</title>"
+        "<script>var tracker = '</div>';</script></head><body>\n"
         "<header><nav>" + _links_html(NAV_LINKS, rng) + "</nav></header>\n"
-        "<article>\n"
-        + "\n".join(f"<p>{p}</p>" for p in paras)
-        + "\n</article>\n"
+        '<div class="content"><article>\n'
+        + "\n".join(paras_html)
+        + "\n</article></div>\n"
         "<aside>" + _links_html(ads, rng) + "</aside>\n"
         "<footer>" + _links_html(FOOTER_LINKS, rng) + "</footer>\n"
         "</body></html>"
@@ -114,15 +135,16 @@ def _gen_table_page(rng: random.Random) -> dict:
     md = format_pipe_table(rows)
     nav_text = " ".join(NAV_LINKS)
     footer_text = " ".join(FOOTER_LINKS)
+    # thead/tbody wrappers are structural noise the parser must pass through
     html = (
         "<!DOCTYPE html><html><body>\n"
         "<header><nav>" + _links_html(NAV_LINKS, rng) + "</nav></header>\n"
-        "<main><table>\n"
-        + "<tr>" + "".join(f"<th>{c}</th>" for c in header) + "</tr>\n"
+        "<main><table>\n<thead>"
+        + "<tr>" + "".join(f"<th>{c}</th>" for c in header) + "</tr></thead>\n<tbody>"
         + "\n".join(
             "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>" for row in rows[1:]
         )
-        + "\n</table></main>\n"
+        + "</tbody>\n</table></main>\n"
         "<footer>" + _links_html(FOOTER_LINKS, rng) + "</footer>\n"
         "</body></html>"
     )
@@ -169,10 +191,11 @@ def _gen_sandwich(rng: random.Random) -> dict:
     parts = [_sentence(rng, 12 + rng.randrange(20)) for _ in range(3)]
     ads = [[_sentence(rng, 2 + rng.randrange(2)) for _ in range(3)] for _ in range(2)]
     body = []
-    body.append(f"<div><p>{parts[0]}</p></div>")
-    body.append('<div class="ad">' + _links_html(ads[0], rng) + "</div>")
+    # nested wrappers + attributes with quotes/specials (golden-neutral)
+    body.append(f'<div id="s1"><div><p>{_inline_markup(rng, parts[0])}</p></div></div>')
+    body.append('<div class="ad" onclick="track(\'x\')">' + _links_html(ads[0], rng) + "</div>")
     body.append(f"<div><p>{parts[1]}</p></div>")
-    body.append('<div class="ad">' + _links_html(ads[1], rng) + "</div>")
+    body.append('<div class="ad" data-x=\'a>b\'>' + _links_html(ads[1], rng) + "</div>")
     body.append(f"<div><p>{parts[2]}</p></div>")
     html = "<!DOCTYPE html><html><body>\n" + "\n".join(body) + "\n</body></html>"
     kept = sum(len(p) for p in parts)
@@ -190,6 +213,20 @@ def _gen_sandwich(rng: random.Random) -> dict:
 
 
 def _gen_minimal(rng: random.Random) -> dict:
+    if rng.random() < 0.5:
+        # <br> splits the body into two blocks (block-tag flush semantics)
+        seg1 = _sentence(rng, 10 + rng.randrange(8))
+        seg2 = _sentence(rng, 10 + rng.randrange(8))
+        html = f"<html><body>{seg1}<br>{seg2}</body></html>"
+        golden = f"{seg1}\n{seg2}"
+        return {
+            "html": html.encode("utf-8"),
+            "text": golden,
+            "extracted_text": golden,
+            "spans": _spans_for([seg1, seg2]),
+            "confidence": 1.0,
+            "content_type": "html",
+        }
     text = _sentence(rng, 10 + rng.randrange(15))
     html = f"<html><body>{text}</body></html>"
     return {
