@@ -97,11 +97,17 @@ def run_with_resume(
     if n_todo == 0:
         return {"processed": 0, "skipped": n_total}
     result = extract_pages(todo, salt_partitions=salt_partitions)
-    result.write.mode("append").parquet(output_path)
-    committed = spark.read.parquet(output_path)
-    partition_counters(committed).withColumn(
-        "run_rows", F.lit(n_todo)
-    ).write.mode("append").parquet(lineage_path)
+    result.persist()
+    try:
+        result.write.mode("append").parquet(output_path)
+        # counters for THIS run's partitions ride the cached result — no
+        # second extraction pass, no full rescan of the committed table
+        # (Iceberg snapshot metadata provides this for free in production)
+        partition_counters(result).withColumn(
+            "run_rows", F.lit(n_todo)
+        ).write.mode("append").parquet(lineage_path)
+    finally:
+        result.unpersist()
     return {"processed": n_todo, "skipped": n_total - n_todo}
 
 
