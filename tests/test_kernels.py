@@ -173,3 +173,17 @@ def test_xlsx_shared_strings_path():
                     f"</sheetData></worksheet>")
     sheets = xlsx_to_sheets(buf.getvalue())
     assert sheets == {"X": [["hello", "world"], ["42", "hello"]]}
+
+
+def test_corrupt_office_payload_contained():
+    """Malformed OOXML zips degrade to error rows, never crash the batch."""
+    from intelligent_document_processing_on_aws_spark.kernels.extract import (
+        extract_page_safe,
+    )
+
+    for payload in (b"PK\x03\x04 word/ garbage", b"PK\x03\x04 xl/ junk", b"PK"):
+        ctype, res, err = extract_page_safe(payload)
+        assert res.extracted_text == ""
+        assert ctype in ("error", "unknown")
+        if ctype == "error":
+            assert "BadZipFile" in err
