@@ -93,6 +93,48 @@ def build_office(out_dir: str = FIXTURES_DIR, n: int = N_OFFICE) -> None:
     print(f"wrote office_docs/office_golden: {n} rows")
 
 
+N_REALPDF = 300
+
+
+def build_realpdf(out_dir: str = FIXTURES_DIR, n: int = N_REALPDF) -> None:
+    from .realpdf_gen import gen_real_pdfs
+
+    recs = gen_real_pdfs(n)
+    _write(recs, INPUT_COLS, PAGES_ARROW_SCHEMA,
+           os.path.join(out_dir, "realpdf_pages.parquet"))
+    _write(recs, GOLDEN_COLS, GOLDEN_ARROW_SCHEMA,
+           os.path.join(out_dir, "realpdf_golden.parquet"))
+    print(f"wrote realpdf_pages/realpdf_golden: {n} rows")
+
+
+N_CSV = 150
+
+
+def build_csv(out_dir: str = FIXTURES_DIR, n: int = N_CSV) -> None:
+    from .csv_gen import gen_csv_docs
+
+    docs = gen_csv_docs(n)
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "name": [d["name"] for d in docs],
+            "payload": [d["payload"] for d in docs],
+        },
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("name", pa.string()), ("payload", pa.binary())]
+        ),
+    )
+    pq.write_table(table, os.path.join(out_dir, "csv_docs.parquet"), compression="zstd")
+    golden = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "extracted_text": [d["extracted_text"] for d in docs],
+        }
+    )
+    pq.write_table(golden, os.path.join(out_dir, "csv_golden.parquet"), compression="zstd")
+    print(f"wrote csv_docs/csv_golden: {n} rows")
+
+
 def build(out_dir: str = FIXTURES_DIR) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for tier, n in TIERS.items():
@@ -102,6 +144,8 @@ def build(out_dir: str = FIXTURES_DIR) -> None:
         print(f"wrote {tier}: {n} rows")
     build_packets(out_dir)
     build_office(out_dir)
+    build_realpdf(out_dir)
+    build_csv(out_dir)
 
 
 if __name__ == "__main__":

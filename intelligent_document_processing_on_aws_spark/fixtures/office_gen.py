@@ -59,28 +59,69 @@ def _docx_payload(paragraphs: list[str], table_rows: list[list[str]] | None) -> 
     )
 
 
-def _xlsx_payload(sheets: dict[str, list[list[str]]]) -> bytes:
+R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+PKG_R = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+
+def _col_letter(c: int) -> str:
+    s = ""
+    c += 1
+    while c:
+        c, r = divmod(c - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
+def _xlsx_payload(
+    sheets: dict[str, list[list[str]]],
+    rng: random.Random,
+    sparse: bool = True,
+) -> bytes:
+    """Real-world-shaped OOXML: cells carry ``r="A1"`` refs, EMPTY CELLS ARE
+    OMITTED (the standard sparse encoding), sheet parts map through
+    xl/_rels/workbook.xml.rels r:id (part file numbering is deliberately
+    decoupled from workbook order so positional/lexicographic mapping is
+    caught), inline strings for text and raw <v> for numerics."""
     entries: dict[str, str] = {}
-    # use inline strings for text, raw <v> for numerics
+    # part file indices: shifted so file order != workbook order for
+    # multi-sheet books (and lexicographic order breaks at 10+ sheets)
+    n = len(sheets)
+    shift = rng.randrange(n) if n > 1 else 0
+    file_idx = [(k + shift) % n + 1 for k in range(n)]
     names_xml = "".join(
-        f'<sheet name="{name}" sheetId="{i + 1}"/>'
-        for i, name in enumerate(sheets)
+        f'<sheet name="{name}" sheetId="{k + 1}" r:id="rId{k + 1}"/>'
+        for k, name in enumerate(sheets)
     )
     entries["xl/workbook.xml"] = (
-        f'<?xml version="1.0"?><workbook xmlns="{S}"><sheets>{names_xml}</sheets></workbook>'
+        f'<?xml version="1.0"?><workbook xmlns="{S}" xmlns:r="{R}">'
+        f"<sheets>{names_xml}</sheets></workbook>"
     )
-    for i, (name, rows) in enumerate(sheets.items(), start=1):
+    rels_xml = "".join(
+        f'<Relationship Id="rId{k + 1}" Type="{R}/worksheet" '
+        f'Target="worksheets/sheet{file_idx[k]}.xml"/>'
+        for k in range(n)
+    )
+    entries["xl/_rels/workbook.xml.rels"] = (
+        f'<?xml version="1.0"?><Relationships xmlns="{PKG_R}">{rels_xml}'
+        "</Relationships>"
+    )
+    for k, rows in enumerate(sheets.values()):
         row_xml = []
         for ri, row in enumerate(rows, start=1):
             cells = []
             for ci, val in enumerate(row):
+                if sparse and val == "":
+                    continue  # omitted cell: the r= ref on neighbors carries position
+                ref = f"{_col_letter(ci)}{ri}"
                 try:
                     float(val)
-                    cells.append(f"<c><v>{val}</v></c>")
+                    cells.append(f'<c r="{ref}"><v>{val}</v></c>')
                 except ValueError:
-                    cells.append(f'<c t="inlineStr"><is><t>{val}</t></is></c>')
+                    cells.append(
+                        f'<c r="{ref}" t="inlineStr"><is><t>{val}</t></is></c>'
+                    )
             row_xml.append(f'<row r="{ri}">{"".join(cells)}</row>')
-        entries[f"xl/worksheets/sheet{i}.xml"] = (
+        entries[f"xl/worksheets/sheet{file_idx[k]}.xml"] = (
             f'<?xml version="1.0"?><worksheet xmlns="{S}">'
             f'<sheetData>{"".join(row_xml)}</sheetData></worksheet>'
         )
@@ -107,8 +148,9 @@ def gen_office_doc(i: int) -> dict:
             "payload": _docx_payload(paragraphs, table),
             "extracted_text": "\n".join(golden_parts),
         }
-    # xlsx
-    n_sheets = 1 + rng.randrange(2)
+    # xlsx; every ~8th xlsx doc is an 11-sheet workbook (sheet10/sheet11
+    # part names break lexicographic mapping — rels must be used)
+    n_sheets = 11 if i % 16 == 1 else 1 + rng.randrange(2)
     sheets: dict[str, list[list[str]]] = {}
     golden_parts: list[str] = []
     multi = n_sheets > 1
@@ -117,25 +159,32 @@ def gen_office_doc(i: int) -> dict:
         rows = [["Item", "Qty", "Price"]]
         data = []
         for _ in range(2 + rng.randrange(4)):
-            data.append(
-                [
-                    _words(rng, 2),
-                    str(rng.randrange(1, 5000)),
-                    f"{rng.uniform(1, 900):.2f}",
-                ]
-            )
+            qty = str(rng.randrange(1, 5000))
+            price = f"{rng.uniform(1, 900):.2f}"
+            # sparse-row hardening: some cells are empty -> OMITTED from the
+            # XML; the golden keeps "" at the true column position
+            if rng.random() < 0.15:
+                qty = ""
+            if rng.random() < 0.15:
+                price = ""
+            data.append([_words(rng, 2), qty, price])
         rows += data
         sheets[name] = rows
         if multi:
             golden_parts.append(f"## {name}")
         formatted = [rows[0]] + [
-            [r[0], format_int(int(r[1])), format_float(float(r[2]))] for r in data
+            [
+                r[0],
+                format_int(int(r[1])) if r[1] else "",
+                format_float(float(r[2])) if r[2] else "",
+            ]
+            for r in data
         ]
         golden_parts.append(format_pipe_table(formatted))
     return {
         "doc_id": i,
         "kind": "xlsx",
-        "payload": _xlsx_payload(sheets),
+        "payload": _xlsx_payload(sheets, rng),
         "extracted_text": "\n\n".join(golden_parts),
     }
 

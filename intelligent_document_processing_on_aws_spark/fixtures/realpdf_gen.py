@@ -1,0 +1,242 @@
+"""Genuine ``%PDF`` fixture corpus + construction-independent goldens.
+
+Each record is a real, spec-conformant PDF written byte-by-byte here
+(header, numbered objects, page tree, content streams, xref table with
+true offsets, trailer) — no PDF library involved. The golden extracted
+text is computed from the template line data BEFORE rendering, so the
+parser under test (kernels/real_pdf.py) is validated against independent
+construction, mirroring the fixture policy of pages_gen.py.
+
+Coverage knobs exercised across the corpus (seed-addressed, page i fully
+determined by Random(f"rpdf-{i}-42")):
+- FlateDecode-compressed AND raw content streams;
+- /Contents as a single ref AND as an array of stream parts;
+- /Length correct, or an indirect reference (parser must not trust it);
+- line modes: single Tj, split Tj+Td runs, TJ arrays with kerning,
+  hex strings, multi-line TL/T*/'/" blocks, absolute Tm positioning;
+- literal-string escapes: \\( \\) \\\\ and octal;
+- content-stream comments and graphics noise (q/Q, colors, paths);
+- blocks written out of reading order (y-sort must restore it).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import zlib
+from datetime import timedelta
+
+from .pages_gen import BASE_TS, LANGS, WORDS, _spans_for
+
+PAGE_W, PAGE_H = 612, 792
+TOP_Y = 720.0
+LEADING = 18.0
+LEFT_X = 72.0
+
+
+def _esc_literal(text: str, rng: random.Random) -> str:
+    """Escape a literal string; randomly renders one safe char as octal."""
+    out = []
+    octal_at = rng.randrange(len(text) * 3) if text else -1  # usually miss
+    for idx, ch in enumerate(text):
+        if ch in "\\()":
+            out.append("\\" + ch)
+        elif idx == octal_at and ch.isalpha():
+            out.append(f"\\{ord(ch):03o}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _line_ops(text: str, x: float, y: float, rng: random.Random) -> str:
+    """Render one line as a self-contained BT/ET block in a random mode."""
+    mode = rng.choice(("tj", "tj", "tj2", "tjarr", "hex", "tm"))
+    words = text.split(" ")
+    if mode == "tj2" and len(words) >= 4:
+        cut = 1 + rng.randrange(len(words) - 2)
+        c1, c2 = " ".join(words[:cut]), " ".join(words[cut:])
+        dx = 6.0 * (len(c1) + 1)
+        return (
+            f"BT /F1 12 Tf {x:.1f} {y:.1f} Td ({_esc_literal(c1, rng)}) Tj "
+            f"{dx:.1f} 0 Td ({_esc_literal(c2, rng)}) Tj ET"
+        )
+    if mode == "tjarr" and len(text) >= 8:
+        cuts = sorted(rng.sample(range(2, len(text) - 2), rng.randrange(1, 3)))
+        chunks, prev = [], 0
+        for c in cuts:
+            chunks.append(text[prev:c])
+            prev = c
+        chunks.append(text[prev:])
+        arr = " ".join(
+            f"({_esc_literal(c, rng)}) {-rng.randrange(20, 200)}" for c in chunks
+        ).rsplit(" ", 1)[0]  # no trailing kern after last chunk
+        return f"BT /F1 12 Tf {x:.1f} {y:.1f} Td [{arr}] TJ ET"
+    if mode == "hex":
+        hx = text.encode("latin-1").hex().upper()
+        if rng.random() < 0.5 and len(hx) > 8:  # whitespace inside hex is legal
+            mid = 2 * (len(hx) // 4)
+            hx = hx[:mid] + "\n" + hx[mid:]
+        return f"BT /F1 12 Tf {x:.1f} {y:.1f} Td <{hx}> Tj ET"
+    if mode == "tm":
+        return (
+            f"BT /F1 12 Tf 1 0 0 1 {x:.1f} {y:.1f} Tm "
+            f"({_esc_literal(text, rng)}) Tj ET"
+        )
+    return f"BT /F1 12 Tf {x:.1f} {y:.1f} Td ({_esc_literal(text, rng)}) Tj ET"
+
+
+def _multiline_block(lines: list[str], y0: float, rng: random.Random) -> str:
+    """One BT block showing several lines via TL + T*/'/" operators."""
+    ops = [f"BT /F1 12 Tf {LEFT_X:.1f} {y0:.1f} Td {LEADING:.1f} TL"]
+    ops.append(f"({_esc_literal(lines[0], rng)}) Tj")
+    for ln in lines[1:]:
+        kind = rng.choice(("quote", "dquote", "tstar"))
+        if kind == "quote":
+            ops.append(f"({_esc_literal(ln, rng)}) '")
+        elif kind == "dquote":
+            ops.append(f"{rng.randrange(3)} 0 ({_esc_literal(ln, rng)}) \"")
+        else:
+            ops.append(f"T* ({_esc_literal(ln, rng)}) Tj")
+    ops.append("ET")
+    return " ".join(ops)
+
+
+_NOISE = (
+    "q 1 0 0 RG 72 100 m 200 100 l S Q",
+    "q 0.5 g 100 60 120 30 re f Q",
+    "% generator noise comment",
+    "q 1 0 0 1 0 0 cm Q",
+)
+
+
+def _page_content_ops(rng: random.Random) -> tuple[list[str], list[str]]:
+    """Returns (golden_lines_top_down, op_blocks_in_write_order)."""
+    n_lines = 3 + rng.randrange(5)
+    lines = [
+        " ".join(rng.choice(WORDS) for _ in range(4 + rng.randrange(6)))
+        for _ in range(n_lines)
+    ]
+    # plant escape-needing chars in some lines (golden includes them)
+    for k in range(len(lines)):
+        r = rng.random()
+        if r < 0.15:
+            lines[k] += " (note)"
+        elif r < 0.22:
+            lines[k] += " a\\b"
+    blocks: list[str] = []
+    idx = 0
+    while idx < len(lines):
+        y = TOP_Y - LEADING * idx
+        take = rng.randrange(2, 4) if (rng.random() < 0.3 and len(lines) - idx >= 2) else 1
+        if take > 1:
+            span = lines[idx:idx + min(take, len(lines) - idx)]
+            blocks.append(_multiline_block(span, y, rng))
+            idx += len(span)
+        else:
+            blocks.append(_line_ops(lines[idx], LEFT_X, y, rng))
+            idx += 1
+        if rng.random() < 0.25:
+            blocks.append(rng.choice(_NOISE))
+    rng.shuffle(blocks)  # reading order must be restored by y-sort
+    return lines, blocks
+
+
+def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
+    """Write a complete multi-page PDF; returns (bytes, golden lines)."""
+    n_pages = 1 + rng.randrange(3)
+    page_lines: list[list[str]] = []
+    page_streams: list[list[bytes]] = []  # per page: 1..2 content parts
+    for _ in range(n_pages):
+        lines, blocks = _page_content_ops(rng)
+        page_lines.append(lines)
+        if len(blocks) >= 2 and rng.random() < 0.3:  # /Contents array form
+            cut = 1 + rng.randrange(len(blocks) - 1)
+            parts = ["\n".join(blocks[:cut]), "\n".join(blocks[cut:])]
+        else:
+            parts = ["\n".join(blocks)]
+        page_streams.append([p.encode("latin-1") for p in parts])
+
+    # object plan: 1 Catalog, 2 Pages, 3 Font, then page + stream objects
+    objects: dict[int, bytes] = {}
+    next_num = 4
+    page_nums: list[int] = []
+    deferred_lengths: list[tuple[int, int]] = []  # (length_obj_num, value)
+    for streams in page_streams:
+        content_nums = []
+        for raw in streams:
+            flate = rng.random() < 0.5
+            data = zlib.compress(raw) if flate else raw
+            filt = " /Filter /FlateDecode" if flate else ""
+            if rng.random() < 0.2:  # /Length as indirect ref (untrustable)
+                len_num = next_num + 1
+                head = f"<< /Length {len_num} 0 R{filt} >>".encode()
+                deferred_lengths.append((len_num, len(data)))
+                objects[next_num] = head + b"\nstream\n" + data + b"\nendstream"
+                content_nums.append(next_num)
+                objects[len_num] = str(len(data)).encode()
+                next_num += 2
+            else:
+                head = f"<< /Length {len(data)}{filt} >>".encode()
+                objects[next_num] = head + b"\nstream\n" + data + b"\nendstream"
+                content_nums.append(next_num)
+                next_num += 1
+        page_num = next_num
+        next_num += 1
+        if len(content_nums) == 1:
+            contents = f"{content_nums[0]} 0 R"
+        else:
+            contents = "[ " + " ".join(f"{c} 0 R" for c in content_nums) + " ]"
+        objects[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
+            f"/Resources << /Font << /F1 3 0 R >> >> /Contents {contents} >>"
+        ).encode()
+        page_nums.append(page_num)
+
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = (
+        f"<< /Type /Pages /Kids [ {kids} ] /Count {len(page_nums)} >>".encode()
+    )
+    objects[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    size = max(objects) + 1
+    out += f"xref\n0 {size}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {size} /Root 1 0 R >>\nstartxref\n{xref_at}\n"
+        "%%EOF\n"
+    ).encode()
+    golden = [ln for pg in page_lines for ln in pg]
+    return bytes(out), golden
+
+
+def gen_real_pdf(i: int) -> dict:
+    """Full deterministic record for real-PDF doc i: input + golden cols,
+    schema-compatible with pages_gen (url/warc_ts/html/text/lang)."""
+    rng = random.Random(f"rpdf-{i}-42")
+    payload, golden_lines = build_pdf(rng)
+    golden = "\n".join(golden_lines)
+    host = rng.randrange(1, 200)
+    return {
+        "url": f"https://host{host:04d}.example/realpdf/{i:06d}.pdf",
+        "warc_ts": BASE_TS + timedelta(seconds=311 * i),
+        "html": payload,
+        "text": golden,
+        "lang": LANGS[i % len(LANGS)],
+        "extracted_text": golden,
+        "spans_json": json.dumps(_spans_for(golden_lines), separators=(",", ":")),
+        "confidence": 1.0,
+        "content_type": "pdf",
+    }
+
+
+def gen_real_pdfs(n: int, start: int = 0) -> list[dict]:
+    return [gen_real_pdf(i) for i in range(start, start + n)]

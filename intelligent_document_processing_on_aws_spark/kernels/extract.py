@@ -9,12 +9,14 @@ file type, route to the decoder branch, produce per-page text artifacts.
 from __future__ import annotations
 
 from . import filetype
-from .boilerplate import ExtractionResult, extract_html
+from .boilerplate import ExtractionResult, Span, extract_html
 from .pagination import text_to_pages
 from .pdf_layout import extract_pdf
 
 
-def extract_page_safe(content: bytes) -> tuple[str, ExtractionResult, str | None]:
+def extract_page_safe(
+    content: bytes, name_hint: str | None = None
+) -> tuple[str, ExtractionResult, str | None]:
     """Error-contained variant: returns (content_type, result, error).
 
     A malformed payload must never kill a batch/job — mirrors the
@@ -23,19 +25,32 @@ def extract_page_safe(content: bytes) -> tuple[str, ExtractionResult, str | None
     degrades to an empty extraction with the error message recorded.
     """
     try:
-        ctype, res = extract_page(content)
+        ctype, res = extract_page(content, name_hint)
         return ctype, res, None
     except Exception as e:  # noqa: BLE001 — containment boundary
         return "error", ExtractionResult("", [], 0.0, 0), f"{type(e).__name__}: {e}"
 
 
-def extract_page(content: bytes) -> tuple[str, ExtractionResult]:
-    """Returns (content_type, ExtractionResult)."""
-    ctype = filetype.detect_content_type(content)
+def extract_page(
+    content: bytes, name_hint: str | None = None
+) -> tuple[str, ExtractionResult]:
+    """Returns (content_type, ExtractionResult). ``name_hint`` (url or
+    filename) carries the extension signal the reference routes on."""
+    ctype = filetype.detect_content_type(content, name_hint)
     if ctype == filetype.PDF:
-        return ctype, extract_pdf(content)
+        if content.startswith(b"%SPDF"):
+            return ctype, extract_pdf(content)
+        from .real_pdf import extract_real_pdf
+
+        return ctype, extract_real_pdf(content)
     if ctype in (filetype.HTML,):
         return ctype, extract_html(content)
+    if ctype == filetype.CSV:
+        from .csv_convert import csv_to_markdown
+
+        md = csv_to_markdown(content.decode("utf-8"))
+        spans = [Span(0, len(md), 0)] if md else []
+        return ctype, ExtractionResult(md, spans, 1.0 if md else 0.0, 1 if md else 0)
     if ctype == filetype.DOCX:
         from .office import extract_docx
 
@@ -50,8 +65,6 @@ def extract_page(content: bytes) -> tuple[str, ExtractionResult]:
         text = content.decode("utf-8")
         pages = text_to_pages(text)
         joined = "\n".join(pages)
-        from .boilerplate import Span
-
         spans = []
         off = 0
         for i, p in enumerate(pages):

@@ -4,20 +4,44 @@ Parity with the reference's `_detect_file_type`
 (lib/idp_common_pkg/idp_common/ocr/service.py:1632-1678): magic-byte check
 (%PDF, PK+xl/ for xlsx, PK+word/ for docx), then UTF-8 decode fallback to
 classify text/html. Extended with the synthetic %SPDF marker used by the
-span-based PDF fixtures.
+span-based PDF fixtures, plus CSV routing: the reference keys CSV on the
+file extension (ocr/service.py:1632-1678 keys on `.csv`), so an optional
+``name_hint`` (url/filename) carries that signal here; a conservative
+content sniff (>= 2 rows x >= 2 columns with consistent field counts)
+covers hint-less payloads.
 """
 
 from __future__ import annotations
 
+import csv as _csv
+import io as _io
+
 PDF = "pdf"
 HTML = "html"
 TEXT = "text"
+CSV = "csv"
 XLSX = "xlsx"
 DOCX = "docx"
 UNKNOWN = "unknown"
 
 
-def detect_content_type(content: bytes) -> str:
+def looks_like_csv(text: str) -> bool:
+    """Conservative CSV sniff: the first (<=8) non-empty sample lines parse
+    to >= 2 rows of the same >= 2 field count."""
+    lines = [ln for ln in text[:4096].splitlines() if ln.strip()][:8]
+    if len(lines) < 2:
+        return False
+    try:
+        rows = [r for r in _csv.reader(_io.StringIO("\n".join(lines))) if r]
+    except _csv.Error:
+        return False
+    if len(rows) < 2:
+        return False
+    width = len(rows[0])
+    return width >= 2 and all(len(r) == width for r in rows)
+
+
+def detect_content_type(content: bytes, name_hint: str | None = None) -> str:
     if content.startswith(b"%SPDF") or content.startswith(b"%PDF"):
         return PDF
     if content.startswith(b"PK"):
@@ -34,4 +58,11 @@ def detect_content_type(content: bytes) -> str:
     lowered = text[:2048].lower()
     if "<html" in lowered or "<!doctype html" in lowered or "<body" in lowered:
         return HTML
+    hint = (name_hint or "").split("?")[0].lower()
+    if hint.endswith(".csv"):
+        return CSV
+    if hint.endswith(".txt"):
+        return TEXT
+    if looks_like_csv(text):
+        return CSV
     return TEXT

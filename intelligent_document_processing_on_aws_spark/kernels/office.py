@@ -60,33 +60,92 @@ def docx_to_parts(payload: bytes) -> list[str]:
     return parts
 
 
+_CELL_REF_RE = re.compile(r"([A-Z]+)\d*")
+
+
+def _col_index(ref: str | None) -> int | None:
+    """'A1' -> 0, 'BC12' -> 54 (OOXML A1-style column letters)."""
+    m = _CELL_REF_RE.fullmatch(ref or "")
+    if not m:
+        return None
+    n = 0
+    for ch in m.group(1):
+        n = n * 26 + (ord(ch) - 64)
+    return n - 1
+
+
 def _xlsx_sheet_rows(xml: bytes, shared: list[str]) -> list[list[str]]:
+    """Rows with cells placed at their true column index: OOXML sparsely
+    encodes rows (empty cells are OMITTED, the `r="A1"` ref carries the
+    position), so positional append would silently shift all columns
+    after a gap. Gaps are padded with "" from the ref."""
     root = ET.fromstring(xml)
     out: list[list[str]] = []
     for row in root.iter(f"{S_NS}row"):
         cells: list[str] = []
         for c in row.findall(f"{S_NS}c"):
+            col = _col_index(c.get("r"))
+            if col is None:
+                col = len(cells)  # ref-less cell: next position
+            while len(cells) < col:
+                cells.append("")
             t = c.get("t")
             if t == "inlineStr":
                 is_el = c.find(f"{S_NS}is")
-                cells.append(
+                val = (
                     "".join(x.text or "" for x in is_el.iter(f"{S_NS}t"))
                     if is_el is not None else ""
                 )
             elif t == "s":
                 v = c.find(f"{S_NS}v")
                 idx = int(v.text) if v is not None and v.text else 0
-                cells.append(shared[idx] if idx < len(shared) else "")
+                val = shared[idx] if idx < len(shared) else ""
             else:
                 v = c.find(f"{S_NS}v")
-                cells.append(v.text if v is not None and v.text else "")
+                val = v.text if v is not None and v.text else ""
+            if len(cells) == col:
+                cells.append(val)
+            else:
+                cells[col] = val
         if cells:
             out.append(cells)
     return out
 
 
+R_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+PKG_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def _workbook_rels(zf: zipfile.ZipFile, names: list[str]) -> dict[str, str]:
+    """r:id -> zip path of the worksheet part, from workbook.xml.rels."""
+    rels_path = "xl/_rels/workbook.xml.rels"
+    if rels_path not in names:
+        return {}
+    out: dict[str, str] = {}
+    root = ET.fromstring(zf.read(rels_path))
+    for rel in root.iter(f"{PKG_REL_NS}Relationship"):
+        rid, target = rel.get("Id"), rel.get("Target") or ""
+        if not rid:
+            continue
+        # targets are relative to xl/ unless absolute ("/xl/...")
+        out[rid] = target.lstrip("/") if target.startswith("/") else f"xl/{target}"
+    return out
+
+
+def _natural_sheet_key(name: str) -> tuple[int, str]:
+    m = re.search(r"(\d+)", name)
+    return (int(m.group(1)) if m else 0, name)
+
+
 def xlsx_to_sheets(payload: bytes) -> dict[str, list[list[str]]]:
-    """{sheet_name: rows} in workbook order."""
+    """{sheet_name: rows} in workbook order.
+
+    Sheet name -> part resolution goes through xl/_rels/workbook.xml.rels
+    (the r:id mapping — lexicographic filename order would put sheet10.xml
+    before sheet2.xml and mismap every workbook with 10+ sheets); when the
+    rels part or r:id attributes are absent, sheet files are natural-sorted
+    by their numeric index and zipped with workbook names positionally.
+    """
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
         names = zf.namelist()
         shared: list[str] = []
@@ -96,21 +155,31 @@ def xlsx_to_sheets(payload: bytes) -> dict[str, list[list[str]]]:
                 "".join(t.text or "" for t in si.iter(f"{S_NS}t"))
                 for si in sroot.iter(f"{S_NS}si")
             ]
-        sheet_names: list[str] = []
+        rels = _workbook_rels(zf, names)
+        entries: list[tuple[str, str | None]] = []  # (sheet name, zip path)
         if "xl/workbook.xml" in names:
             wb = ET.fromstring(zf.read("xl/workbook.xml"))
-            sheet_names = [
-                s.get("name", f"Sheet{i + 1}")
-                for i, s in enumerate(wb.iter(f"{S_NS}sheet"))
+            for i, s in enumerate(wb.iter(f"{S_NS}sheet")):
+                name = s.get("name", f"Sheet{i + 1}")
+                path = rels.get(s.get(f"{R_NS}id") or "")
+                entries.append((name, path if path in names else None))
+        sheet_files = sorted(
+            (n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=_natural_sheet_key,
+        )
+        if not entries:
+            entries = [(f"Sheet{i + 1}", f) for i, f in enumerate(sheet_files)]
+        elif any(path is None for _, path in entries):
+            # no usable rels: assign natural-sorted files positionally
+            entries = [
+                (name, sheet_files[i] if i < len(sheet_files) else None)
+                for i, (name, _) in enumerate(entries)
             ]
         sheets: dict[str, list[list[str]]] = {}
-        sheet_files = sorted(
-            n for n in names
-            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
-        )
-        for i, fname in enumerate(sheet_files):
-            name = sheet_names[i] if i < len(sheet_names) else f"Sheet{i + 1}"
-            sheets[name] = _xlsx_sheet_rows(zf.read(fname), shared)
+        for name, path in entries:
+            sheets[name] = (
+                _xlsx_sheet_rows(zf.read(path), shared) if path else []
+            )
     return sheets
 
 

@@ -60,17 +60,27 @@ def _shingles_df(docs: DataFrame, text_col: str, k: int = 3) -> DataFrame:
     )
 
 
+DEFAULT_MAX_DF = 1000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
     k: int = 3,
     text_col: str = "text",
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
-    """Exact pairwise Jaccard >= threshold over k-token shingle sets.
+    """Pairwise Jaccard >= threshold over k-token shingle sets.
 
-    max_df: drop shingles present in more than max_df docs before the
-    self-join (skew guard for web-scale corpora; None = exact)."""
+    max_df (ON by default): drop shingles present in more than max_df docs
+    before the self-join. A ubiquitous shingle (boilerplate header) makes
+    the shingle self-join quadratic in its posting list — one shingle in
+    10^6 docs alone yields 10^12 candidate pairs at web scale — so the cap
+    bounds per-shingle join fan-out at max_df^2 regardless of corpus size.
+    Near-dup pairs share many shingles, so dropping the few corpus-wide
+    ones barely moves their Jaccard (recall preserved on the fixture
+    corpus — tests/test_dedup_similarity.py); pass max_df=None for the
+    exact all-pairs semantics at small scale."""
     sh = _shingles_df(docs, text_col, k)
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))

@@ -69,8 +69,9 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "n_blocks": [0] * n,
             "error": [None] * n,
         }
+        urls = out["url"]
         for i, content in enumerate(pdf["html"]):
-            ctype, res, err = extract_page_safe(bytes(content))
+            ctype, res, err = extract_page_safe(bytes(content), urls[i])
             out["content_type"][i] = ctype
             out["error"][i] = err
             out["extracted_text"][i] = res.extracted_text

@@ -47,6 +47,20 @@ def test_exact_dedup(spark, docs_df):
     assert not rows[3].is_duplicate and rows[3].group_size == 1
 
 
+def test_ngram_jaccard_max_df_cap_preserves_pairs(spark, docs_df):
+    """The default skew cap (max_df=1000) must not change recall on a
+    corpus where no shingle is corpus-wide hot; an aggressive cap (=1)
+    must still keep the join bounded and lose pairs monotonically."""
+    exact = {(r.doc_id_a, r.doc_id_b) for r in
+             ngram_jaccard_pairs(docs_df, threshold=0.5, max_df=None).collect()}
+    capped = {(r.doc_id_a, r.doc_id_b) for r in
+              ngram_jaccard_pairs(docs_df, threshold=0.5).collect()}  # default cap
+    assert capped == exact
+    tight = {(r.doc_id_a, r.doc_id_b) for r in
+             ngram_jaccard_pairs(docs_df, threshold=0.5, max_df=1).collect()}
+    assert tight <= exact
+
+
 def test_ngram_jaccard_matches_kernel(spark, docs_df):
     pairs = {(r.doc_id_a, r.doc_id_b): r.jaccard
              for r in ngram_jaccard_pairs(docs_df, threshold=0.5).collect()}

@@ -1,0 +1,260 @@
+"""Real %PDF parsing, CSV routing, and hardened-OOXML decode tests.
+
+Fixture policy: goldens are computed from template data by the generators
+(realpdf_gen / csv_gen / office_gen), independent of the kernels under
+test; hand-written operator streams below pin individual PDF text-operator
+semantics (reference role: ocr/service.py:1144-1252 PDF ingestion,
+document_converter.py:113-162 CSV conversion).
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+from intelligent_document_processing_on_aws_spark.fixtures.csv_gen import gen_csv_docs
+from intelligent_document_processing_on_aws_spark.fixtures.realpdf_gen import (
+    build_pdf,
+    gen_real_pdf,
+)
+from intelligent_document_processing_on_aws_spark.kernels import filetype
+from intelligent_document_processing_on_aws_spark.kernels.extract import (
+    extract_page,
+    extract_page_safe,
+)
+from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+    extract_real_pdf,
+    scan_objects,
+    text_spans,
+)
+
+# ---------------------------------------------------------------------------
+# real %PDF: generator round-trip (golden from template data)
+# ---------------------------------------------------------------------------
+
+
+def test_real_pdf_roundtrip_subset():
+    for i in range(80):
+        rec = gen_real_pdf(i)
+        ctype, res = extract_page(rec["html"], rec["url"])
+        assert ctype == "pdf"
+        assert res.extracted_text == rec["extracted_text"], f"doc {i}"
+        triples = [[s.start, s.end, s.block_id] for s in res.spans]
+        assert json.dumps(triples, separators=(",", ":")) == rec["spans_json"]
+        assert res.confidence == 1.0
+
+
+def test_real_pdf_multipage_page_order():
+    """Pages must come out in page-tree order, not object-number order."""
+    import random
+
+    for seed in ("rpdf-2-42", "rpdf-7-42", "rpdf-11-42"):
+        rng = random.Random(seed)
+        payload, golden = build_pdf(rng)
+        assert extract_real_pdf(payload).extracted_text == "\n".join(golden)
+
+
+# ---------------------------------------------------------------------------
+# real %PDF: pinned text-operator semantics (hand-written streams)
+# ---------------------------------------------------------------------------
+
+
+def _spans_text(stream: bytes) -> list[str]:
+    return [s["text"] for s in text_spans(stream, 1)]
+
+
+def test_tj_array_concatenates_ignoring_kerns():
+    ops = b"BT /F1 12 Tf 72 700 Td [(he) -30 (llo) 12 ( wor) -5 (ld)] TJ ET"
+    assert _spans_text(ops) == ["hello world"]
+
+
+def test_literal_string_escapes():
+    ops = rb"BT 72 700 Td (a\(b\)c \\ \110i \n) Tj ET"
+    assert _spans_text(ops) == ["a(b)c \\ Hi \n"]
+
+
+def test_nested_balanced_parens_unescaped():
+    ops = b"BT 72 700 Td (outer (inner) tail) Tj ET"
+    assert _spans_text(ops) == ["outer (inner) tail"]
+
+
+def test_hex_string_with_whitespace():
+    ops = b"BT 72 700 Td <68 65\n6C6C 6F> Tj ET"
+    assert _spans_text(ops) == ["hello"]
+
+
+def test_quote_operators_advance_lines():
+    ops = (b"BT /F1 12 Tf 72 720 Td 18 TL (l1) Tj (l2) ' 2 0 (l3) \" ET")
+    spans = text_spans(ops, 1)
+    assert [s["text"] for s in spans] == ["l1", "l2", "l3"]
+    ys = [s["y"] for s in spans]
+    assert ys == sorted(ys) and len(set(ys)) == 3  # descending page y
+
+
+def test_tm_sets_absolute_position():
+    ops = b"BT 1 0 0 1 50 100 Tm (low) Tj ET BT 1 0 0 1 50 700 Tm (high) Tj ET"
+    res_lines = [s["text"] for s in sorted(text_spans(ops, 1), key=lambda s: s["y"])]
+    assert res_lines == ["high", "low"]
+
+
+def test_comment_skipped_but_not_inside_string():
+    ops = b"% leading comment\nBT 72 700 Td (100% pure) Tj ET % trailing"
+    assert _spans_text(ops) == ["100% pure"]
+
+
+def test_inline_dict_and_graphics_noise_ignored():
+    ops = (b"q 0.5 g 10 10 50 20 re f Q << /Noise true >> "
+           b"BT 72 700 Td (kept) Tj ET")
+    assert _spans_text(ops) == ["kept"]
+
+
+def test_name_token_never_shown():
+    ops = b"BT /F1 12 Tf 72 700 Td /NotText (real) Tj ET"
+    assert _spans_text(ops) == ["real"]
+
+
+def test_indirect_length_and_flate(tmp_path=None):
+    """Stream whose /Length is an indirect ref + FlateDecode; data ends in
+    an EOL byte (the case a naive endstream-EOL-strip corrupts)."""
+    content = b"BT 72 700 Td (flate ok) Tj ET"
+    data = zlib.compress(content)
+    assert True  # construction below embeds data verbatim
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 5 0 R /Filter /FlateDecode >>\nstream\n"
+        + data + b"\nendstream\nendobj\n"
+        b"5 0 obj\n" + str(len(data)).encode() + b"\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_real_pdf(pdf).extracted_text == "flate ok"
+
+
+def test_corrupt_pdfs_contained():
+    """Malformed real PDFs degrade per-row, never crash."""
+    cases = [
+        b"%PDF-1.4\ngarbage no objects",
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n",  # no pages
+        # truncated flate stream
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 9999 /Filter /FlateDecode >>\nstream\n\x78\x9c\x01"
+        b"\nendstream\nendobj\n",
+        gen_real_pdf(0)["html"][:200],  # hard truncation
+    ]
+    for payload in cases:
+        ctype, res, err = extract_page_safe(payload)
+        assert ctype in ("pdf", "error")
+        if ctype == "error":
+            assert err
+        else:
+            assert isinstance(res.extracted_text, str)
+
+
+def test_scan_objects_ignores_stale_xref():
+    rec = gen_real_pdf(3)
+    objs = scan_objects(rec["html"])
+    assert 1 in objs and 2 in objs  # catalog + pages found by linear scan
+
+
+# ---------------------------------------------------------------------------
+# CSV routing + decode
+# ---------------------------------------------------------------------------
+
+
+def test_csv_roundtrip_subset():
+    for d in gen_csv_docs(60):
+        ctype, res = extract_page(d["payload"], d["name"])
+        assert ctype == "csv", f"doc {d['doc_id']} routed to {ctype}"
+        assert res.extracted_text == d["extracted_text"], f"doc {d['doc_id']}"
+
+
+def test_csv_extension_hint_routes():
+    payload = b"single column\njust words here\nno commas at all"
+    assert filetype.detect_content_type(payload, "data.csv") == "csv"
+    assert filetype.detect_content_type(payload, "data.txt") == "text"
+    assert filetype.detect_content_type(payload) == "text"
+
+
+def test_csv_sniff_consistent_columns_only():
+    assert filetype.detect_content_type(b"a,b,c\n1,2,3\n4,5,6") == "csv"
+    # prose with commas: inconsistent field counts -> text
+    prose = (b"We came, we saw, we left early.\n"
+             b"It rained all day.\n"
+             b"Coffee, tea.")
+    assert filetype.detect_content_type(prose) == "text"
+    # single line -> text
+    assert filetype.detect_content_type(b"a,b,c") == "text"
+
+
+def test_csv_quoted_fields_and_empty_cells():
+    payload = b'name,qty\n"smith, j",3\n"say ""hi""",\n'
+    ctype, res = extract_page(payload, "x.csv")
+    assert ctype == "csv"
+    assert '| smith, j | 3 |' in res.extracted_text
+    assert '| say "hi" |  |' in res.extracted_text
+
+
+# ---------------------------------------------------------------------------
+# hardened OOXML decode
+# ---------------------------------------------------------------------------
+
+
+def test_xlsx_sparse_cells_keep_column_alignment():
+    """Omitted cells (standard OOXML sparse encoding) must not shift later
+    columns: value with r="C2" lands in column 2 even when A2/B2 are absent."""
+    import io
+    import zipfile
+
+    from intelligent_document_processing_on_aws_spark.kernels.office import (
+        xlsx_to_sheets,
+    )
+
+    S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml",
+                    f'<workbook xmlns="{S}"><sheets>'
+                    f'<sheet name="X" sheetId="1"/></sheets></workbook>')
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{S}"><sheetData>'
+            '<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c>'
+            '<c r="B1" t="inlineStr"><is><t>b</t></is></c>'
+            '<c r="C1" t="inlineStr"><is><t>c</t></is></c></row>'
+            '<row r="2"><c r="C2"><v>9</v></c></row>'
+            "</sheetData></worksheet>")
+    sheets = xlsx_to_sheets(buf.getvalue())
+    assert sheets == {"X": [["a", "b", "c"], ["", "", "9"]]}
+
+
+def test_xlsx_sheet_order_via_rels_10_plus_sheets():
+    """sheet10.xml sorts before sheet2.xml lexicographically; the rels
+    r:id mapping must keep workbook order regardless."""
+    from intelligent_document_processing_on_aws_spark.fixtures.office_gen import (
+        gen_office_doc,
+    )
+    from intelligent_document_processing_on_aws_spark.kernels.office import (
+        xlsx_to_sheets,
+    )
+
+    d = gen_office_doc(17)  # 11-sheet family (i % 16 == 1, odd -> xlsx)
+    assert d["kind"] == "xlsx"
+    sheets = xlsx_to_sheets(d["payload"])
+    assert list(sheets) == [f"Data{k}" for k in range(1, 12)]
+    ctype, res = extract_page(d["payload"])
+    assert res.extracted_text == d["extracted_text"]
+
+
+def test_office_generator_roundtrip_subset():
+    from intelligent_document_processing_on_aws_spark.fixtures.office_gen import (
+        gen_office_docs,
+    )
+
+    for d in gen_office_docs(40):
+        ctype, res = extract_page(d["payload"])
+        assert ctype == d["kind"]
+        assert res.extracted_text == d["extracted_text"], f"doc {d['doc_id']}"
