@@ -31,7 +31,11 @@ def _zip_bytes(entries: dict[str, str]) -> bytes:
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         for name, content in entries.items():
-            zf.writestr(name, content)
+            # pinned date_time: writestr(str, ...) would embed wall-clock
+            # mtime in the local header, breaking fixture byte-stability
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, content)
     return buf.getvalue()
 
 

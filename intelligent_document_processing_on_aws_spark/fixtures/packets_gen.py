@@ -252,6 +252,47 @@ def _unflatten(flat: dict) -> dict:
     return root
 
 
+def gen_segments(pk: dict) -> list[dict]:
+    """Holistic segment ranges for one packet — the deterministic analog of
+    the reference's LLM-emitted ``segments`` array
+    (classification/service.py:2070-2150). Base ranges come from the
+    template sections; hardening mirrors the reference's validation paths:
+    - an over-long final range (nonexistent pages are silently dropped),
+    - a segment with a missing ``type`` (skipped, but its ordinal still
+      consumes a section_id — reference enumerates before validating),
+    - a fully out-of-range segment (no valid pages -> skipped, id consumed).
+    """
+    rng = random.Random(f"holseg-{pk['doc_id']}-42")
+    segs = [
+        {
+            "type": s["classification"],
+            "start": s["page_nums"][0],
+            "end": s["page_nums"][-1],
+        }
+        for s in pk["sections"]
+    ]
+    npages = len(pk["pages"])
+    if rng.random() < 0.20:
+        segs[-1]["end"] = npages + 2  # overshoot: truncates to real pages
+    if rng.random() < 0.25:
+        pos = rng.randrange(len(segs) + 1)
+        segs.insert(pos, {"type": None, "start": 1, "end": 1})  # missing field
+    if rng.random() < 0.15:
+        segs.append(
+            {"type": rng.choice(CLASSES), "start": npages + 5, "end": npages + 6}
+        )
+    return [
+        {
+            "doc_id": pk["doc_id"],
+            "seg_idx": k,
+            "ordinal_start_page": s["start"],
+            "ordinal_end_page": s["end"],
+            "type": s["type"],
+        }
+        for k, s in enumerate(segs)
+    ]
+
+
 def gen_packets(n: int) -> list[dict]:
     return [gen_packet(d) for d in range(n)]
 
@@ -259,9 +300,10 @@ def gen_packets(n: int) -> list[dict]:
 def packet_tables(n: int) -> dict[str, list[dict]]:
     """Materialize all fixture tables for n packets."""
     pages_rows, section_rows, attr_rows, actual_rows = [], [], [], []
-    flat_exp_rows, flat_act_rows = [], []
+    flat_exp_rows, flat_act_rows, segment_rows = [], [], []
     for pk in gen_packets(n):
         d, url = pk["doc_id"], pk["url"]
+        segment_rows.extend(gen_segments(pk))
         for i, text in enumerate(pk["pages"], start=1):
             pages_rows.append(
                 {"doc_id": d, "page_num": i, "url": url, "text": text}
@@ -308,6 +350,7 @@ def packet_tables(n: int) -> dict[str, list[dict]]:
                 )
     return {
         "packet_pages": pages_rows,
+        "packet_segments": segment_rows,
         "golden_sections": section_rows,
         "golden_attributes": attr_rows,
         "actual_attributes": actual_rows,

@@ -59,24 +59,23 @@ def normalize_boolean_value(value: Any) -> bool | None:
     return None
 
 
-def convert_to_list(value: Any) -> list:
+def convert_to_list(value: Any) -> list[str]:
+    """Exact mirror of evaluation/comparator.py:196-223: list items are
+    stringified, a "[...]"-shaped string is literal_eval'd, and ANY other
+    value — including empty and whitespace-only strings — becomes the
+    single-element [str(value)] (the reference's 1x1 Hungarian path)."""
     if value is None:
         return []
     if isinstance(value, list):
-        return value
-    if isinstance(value, str):
-        s = value.strip()
-        if s.startswith("[") and s.endswith("]"):
-            try:
-                parsed = ast.literal_eval(s)
-                if isinstance(parsed, list):
-                    return parsed
-            except (ValueError, SyntaxError):
-                pass
-        if not s:
-            return []
-        return [value]
-    return [value]
+        return [str(item) for item in value]
+    if isinstance(value, str) and value.startswith("[") and value.endswith("]"):
+        try:
+            parsed = ast.literal_eval(value)
+            if isinstance(parsed, list):
+                return [str(item) for item in parsed]
+        except (ValueError, SyntaxError):
+            pass
+    return [str(value)]
 
 
 _JSON_FENCE_RE = re.compile(r"```json\s*(.*?)\s*```", re.DOTALL)

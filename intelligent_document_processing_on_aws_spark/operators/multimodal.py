@@ -106,6 +106,39 @@ def extract_features(items: DataFrame, decode: bool = False,
     return items.select("item_id", "modality", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+def probe_image_meta(items: DataFrame) -> DataFrame:
+    """Fill meta.width/height for image rows from the payload's own file
+    header (stdlib PNG/JPEG/GIF parse, kernels/image_meta.py) — the
+    metadata no longer depends on fixture-supplied values. Non-image rows
+    and unparseable payloads keep their existing meta unchanged."""
+    from ..kernels.image_meta import image_size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            metas = []
+            for modality, payload, meta in zip(
+                pdf["modality"], pdf["payload"], pdf["meta"]
+            ):
+                meta = dict(meta) if meta is not None else {
+                    "width": None, "height": None,
+                    "sample_rate": None, "n_frames": None,
+                }
+                if modality == "image":
+                    size = image_size(bytes(payload) if payload is not None else b"")
+                    if size:
+                        meta["width"], meta["height"] = size
+                metas.append(meta)
+            pdf = pdf.copy()
+            pdf["meta"] = metas
+            yield pdf
+
+    return items.select("item_id", "modality", "payload", "meta").mapInPandas(
+        run, MULTIMODAL_SCHEMA
+    )
+
+
 def frame_sample(items: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: emits one row per sampled frame index
     using metadata only (decode stubbed); schema + fan-out shape are real."""

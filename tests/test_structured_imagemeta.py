@@ -1,0 +1,229 @@
+"""YAML/JSON autodetect ladder + image-header metadata tests.
+
+Reference roles: utils/__init__.py:277-621 (extract_yaml_from_text /
+detect_format / extract_structured_data_from_text), image/__init__.py
+size probing (header fields replace the PIL read).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+from intelligent_document_processing_on_aws_spark.kernels.image_meta import (
+    gif_size,
+    image_size,
+    jpeg_size,
+    png_size,
+)
+from intelligent_document_processing_on_aws_spark.kernels.structured import (
+    detect_format,
+    extract_structured_data_from_text,
+    extract_yaml_from_text,
+)
+from intelligent_document_processing_on_aws_spark.kernels.textnorm import (
+    convert_to_list,
+)
+
+# ---------------------------------------------------------------------------
+# extract_yaml_from_text strategy ladder
+# ---------------------------------------------------------------------------
+
+
+def test_yaml_fenced_block():
+    text = "Here you go:\n```yaml\nname: a\nitems:\n  - 1\n  - 2\n```\ndone"
+    assert extract_yaml_from_text(text) == "name: a\nitems:\n  - 1\n  - 2"
+
+
+def test_yaml_fence_invalid_returns_original():
+    """The reference's strategy-1 early-out: a ```yaml tag whose body is
+    invalid returns the ORIGINAL text, not later strategies."""
+    text = "```yaml\n: : : [unbalanced\n```\n---\nvalid: yes\n---"
+    assert extract_yaml_from_text(text) == text
+
+
+def test_yml_fence_falls_through_to_markers():
+    text = "```yml\n: : : [unbalanced\n```  ---\nkey: v\n--- trailing"
+    out = extract_yaml_from_text(text)
+    assert out.startswith("---") and "key: v" in out
+
+
+def test_generic_fence_validated_as_yaml():
+    text = "```\nfoo: bar\nbaz: 2\n```"
+    assert extract_yaml_from_text(text) == "foo: bar\nbaz: 2"
+
+
+def test_document_markers():
+    text = "preamble\n---\nkey: value\nn: 3\n--- trailing prose"
+    assert extract_yaml_from_text(text) == "---\nkey: value\nn: 3"
+
+
+def test_indicator_ratio_whole_text():
+    text = "alpha: 1\nbeta: 2\ngamma: 3"
+    assert extract_yaml_from_text(text) == text
+
+
+def test_no_yaml_returns_original():
+    text = "just a plain sentence with no structure at all"
+    assert extract_yaml_from_text(text) == text
+
+
+# ---------------------------------------------------------------------------
+# detect_format
+# ---------------------------------------------------------------------------
+
+
+def test_detect_format_ladder():
+    assert detect_format('{"a": 1}') == "json"
+    assert detect_format("[1, 2]") == "json"
+    assert detect_format("---\na: 1") == "yaml"
+    assert detect_format("a: 1\nb: 2") == "yaml"
+    assert detect_format("```json\n{}\n```") == "json"
+    assert detect_format("```yaml\na: 1\n```") == "yaml"
+    assert detect_format("") == "unknown"
+    assert detect_format("   ") == "unknown"
+    assert detect_format("plain scalar text") == "unknown"  # not structured
+
+
+def test_detect_format_prefers_json_when_both_parse():
+    # valid JSON is also valid YAML; the reference prefers JSON
+    assert detect_format('{"k": [1, 2]}') == "json"
+
+
+def test_extract_structured_cross_format_fallback():
+    data, fmt = extract_structured_data_from_text('```json\n{"a": 1}\n```')
+    assert (data, fmt) == ({"a": 1}, "json")
+    data, fmt = extract_structured_data_from_text("a: 1\nb:\n  - x\n  - y")
+    assert fmt == "yaml" and data == {"a": 1, "b": ["x", "y"]}
+    data, fmt = extract_structured_data_from_text("no structure here.!.")
+    assert fmt == "unknown"
+
+
+@given(st.dictionaries(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+    st.one_of(st.integers(-9999, 9999), st.text(alphabet="xyz ", max_size=8),
+              st.booleans()),
+    min_size=1, max_size=5,
+))
+def test_property_fenced_json_roundtrip(d):
+    """Any JSON object inside a fence is recovered exactly."""
+    text = f"response:\n```json\n{json.dumps(d)}\n```\nthanks"
+    data, fmt = extract_structured_data_from_text(text)
+    assert fmt == "json" and data == d
+
+
+@given(st.text(max_size=200))
+def test_property_never_raises(text):
+    """Malformed/adversarial input never raises — the ladder always
+    degrades to the original text / 'unknown'."""
+    extract_yaml_from_text(text)
+    detect_format(text)
+    extract_structured_data_from_text(text)
+
+
+# ---------------------------------------------------------------------------
+# convert_to_list reference parity (comparator.py:196-223)
+# ---------------------------------------------------------------------------
+
+
+def test_convert_to_list_reference_parity():
+    assert convert_to_list(None) == []
+    assert convert_to_list([1, "a"]) == ["1", "a"]  # items stringified
+    assert convert_to_list("[1, 'b']") == ["1", "b"]
+    assert convert_to_list("  ") == ["  "]  # whitespace-only: 1x1 path
+    assert convert_to_list("") == [""]
+    assert convert_to_list("plain") == ["plain"]
+    assert convert_to_list(" [1, 2] ") == [" [1, 2] "]  # no strip before [ check
+    assert convert_to_list(42) == ["42"]
+
+
+def test_compare_hungarian_whitespace_only_is_1x1():
+    from intelligent_document_processing_on_aws_spark.kernels.compare import (
+        compare_hungarian,
+    )
+
+    tp, fp, avg = compare_hungarian("  ", "  ", "EXACT", 0.8)
+    assert (tp, fp, avg) == (1, 0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# image header metadata
+# ---------------------------------------------------------------------------
+
+
+def _png(w: int, h: int) -> bytes:
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\x00" * 8)
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    dqt = b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x00\x00\x00"
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def test_png_header():
+    assert png_size(_png(640, 480)) == (640, 480)
+    assert image_size(_png(1, 99999)) == (1, 99999)
+    assert png_size(b"\x89PNG\r\n\x1a\nXXXX") is None  # truncated
+    assert png_size(_png(0, 10)) is None
+
+
+def test_jpeg_header_walks_markers():
+    assert jpeg_size(_jpeg(1024, 768)) == (1024, 768)
+    # progressive (SOF2)
+    prog = _jpeg(320, 200).replace(b"\xff\xc0", b"\xff\xc2")
+    assert jpeg_size(prog) == (320, 200)
+    # DHT (C4) must not be mistaken for SOF
+    dht_first = (b"\xff\xd8" + b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+                 + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+                 + struct.pack(">HH", 10, 20) + b"\x01\x00\x00\x00")
+    assert jpeg_size(dht_first) == (20, 10)
+    assert jpeg_size(b"\xff\xd8\xff\xd9") is None  # no SOF
+    assert jpeg_size(b"not a jpeg") is None
+
+
+def test_gif_header():
+    assert gif_size(_gif(12, 34)) == (12, 34)
+    assert gif_size(b"GIF89a\x00") is None
+
+
+@given(st.binary(max_size=64))
+def test_property_image_size_never_raises(data):
+    image_size(data)
+
+
+def test_probe_image_meta_operator(spark):
+    """Spark-side: meta.width/height come from the payload header; video
+    rows and unparseable images keep their fixture meta."""
+    from intelligent_document_processing_on_aws_spark.operators.multimodal import (
+        probe_image_meta,
+    )
+
+    rows = [
+        (1, "image", _png(99, 44), None),
+        (2, "image", _jpeg(320, 240), {"width": 1, "height": 1,
+                                       "sample_rate": None, "n_frames": None}),
+        (3, "image", b"corrupt", {"width": 7, "height": 8,
+                                  "sample_rate": None, "n_frames": None}),
+        (4, "video", _png(5, 5), {"width": None, "height": None,
+                                  "sample_rate": 30, "n_frames": 120}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "item_id long, modality string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    out = {r.item_id: r.meta for r in probe_image_meta(df).collect()}
+    assert (out[1].width, out[1].height) == (99, 44)
+    assert (out[2].width, out[2].height) == (320, 240)
+    assert (out[3].width, out[3].height) == (7, 8)  # unparseable: unchanged
+    assert (out[4].sample_rate, out[4].n_frames) == (30, 120)  # video untouched
