@@ -263,14 +263,19 @@ def evaluate_lists_hungarian(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         out = {k: [] for k in ("doc_id", "section_id", "classification",
                                "attr_path", "tp", "fp", "avg_score")}
-        for _, row in pdf.iterrows():
-            e_raw, a_raw = row["e_vals"], row["a_vals"]
+        # zip over columns, not iterrows — iterrows builds a Series per row
+        # (the slowest pandas idiom; groups here are 1-row, but the operator
+        # contract allows arbitrary group sizes)
+        for doc_id, section_id, cls, e_raw, a_raw in zip(
+            pdf["doc_id"], pdf["section_id"], pdf["classification"],
+            pdf["e_vals"], pdf["a_vals"],
+        ):
             evs = [x["value"] for x in e_raw] if e_raw is not None and len(e_raw) else []
             avs = [x["value"] for x in a_raw] if a_raw is not None and len(a_raw) else []
             tp, fp, avg = compare_hungarian(evs, avs, comparator, threshold)
-            out["doc_id"].append(row["doc_id"])
-            out["section_id"].append(row["section_id"])
-            out["classification"].append(row["classification"])
+            out["doc_id"].append(doc_id)
+            out["section_id"].append(section_id)
+            out["classification"].append(cls)
             out["attr_path"].append(f"{list_attr}[].{field}")
             out["tp"].append(tp)
             out["fp"].append(fp)
@@ -278,3 +283,115 @@ def evaluate_lists_hungarian(
         return pd.DataFrame(out)
 
     return both.groupBy("doc_id", "section_id").applyInPandas(run, HUNGARIAN_SCHEMA)
+
+
+def _pct(col):
+    """Integer-percent rendering: the report's only float->string boundary.
+    2-dp printf formatting differs between JVM String.format (HALF_UP) and
+    C-style printf (half-even) on exact-binary halfway values, so the
+    report quantizes to whole percents — identical on any engine."""
+    return F.concat(F.round(col * 100, 0).cast("int").cast("string"), F.lit("%"))
+
+
+def evaluation_report(counted: DataFrame) -> DataFrame:
+    """Per-document evaluation markdown report: (doc_id, report_md).
+
+    Deterministic analog of the reference's EvaluationResult.to_markdown
+    (evaluation/models.py:117-330): document header, emoji-coded summary
+    with a unicode progress bar, per-section headers with count rollups,
+    and one ✅/❌ row per attribute (expected/actual/score/method).
+    Documented deviations: scores render as whole percents (see _pct);
+    no confidence columns (assessment is a separate operator here); no
+    execution-time footer (nondeterministic).
+
+    Built entirely from JVM-side string expressions + two aggregations
+    (section, then document) — no UDF, no window, no driver collect.
+    """
+    matched = (F.col("tp") + F.col("tn")) == 1
+    status = F.when(matched, F.lit("✅")).otherwise(F.lit("❌"))
+    method_display = F.when(
+        F.col("method") == "FUZZY",
+        F.concat(F.col("method"), F.lit(" (threshold: "),
+                 _pct(F.col("threshold")), F.lit(")")),
+    ).otherwise(F.col("method"))
+
+    def cell(c):
+        return F.coalesce(F.regexp_replace(c, "\n", " "), F.lit("None"))
+
+    row_md = F.concat(
+        F.lit("| "), status,
+        F.lit(" | "), F.col("attr_path"),
+        F.lit(" | "), cell(F.col("expected")),
+        F.lit(" | "), cell(F.col("actual")),
+        F.lit(" | "), _pct(F.col("score")),
+        F.lit(" | "), method_display, F.lit(" |"),
+    )
+    rows = counted.select(
+        "doc_id", "section_id", "classification", "attr_path",
+        row_md.alias("row_md"), "tp", "fp", "fn", "tn", "fp1", "fp2",
+    )
+    sec = rows.groupBy("doc_id", "section_id").agg(
+        F.any_value("classification").alias("classification"),
+        F.array_join(
+            F.expr("transform(sort_array(collect_list(struct(attr_path, row_md)))"
+                   ", x -> x.row_md)"),
+            "\n",
+        ).alias("attr_rows"),
+        *_metric_exprs(),
+    )
+    sec_md = F.concat(
+        F.lit("## Section: "), F.col("section_id"),
+        F.lit(" ("), F.col("classification"), F.lit(")\n\n"),
+        F.lit("- counts: tp="), F.col("tp").cast("string"),
+        F.lit(" fp="), F.col("fp").cast("string"),
+        F.lit(" fn="), F.col("fn").cast("string"),
+        F.lit(" tn="), F.col("tn").cast("string"),
+        F.lit(" fp1="), F.col("fp1").cast("string"),
+        F.lit(" fp2="), F.col("fp2").cast("string"), F.lit("\n\n"),
+        F.lit("| Status | Attribute | Expected | Actual | Score | Method |\n"),
+        F.lit("| :----: | --------- | -------- | ------ | ----- | ------ |\n"),
+        F.col("attr_rows"),
+    )
+    doc = sec.select("doc_id", F.col("section_id"), sec_md.alias("sec_md"),
+                     "tp", "fp", "fn", "tn", "fp1", "fp2").groupBy("doc_id").agg(
+        F.array_join(
+            F.expr("transform(sort_array(collect_list(struct(section_id, sec_md)))"
+                   ", x -> x.sec_md)"),
+            "\n\n",
+        ).alias("sections_md"),
+        *_metric_exprs(),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    total = tp + fp + fn + tn
+    matched_n = tp + tn
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(0.0)
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(0.0)
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    rate_pct = F.round(
+        F.when(total > 0, matched_n / total).otherwise(0.0) * 100, 0
+    ).cast("int")
+    f1_pct = F.round(f1 * 100, 0).cast("int")
+
+    def indicator(pct_col):
+        return (
+            F.when(pct_col >= 90, "\U0001f7e2").when(pct_col >= 70, "\U0001f7e1")
+            .when(pct_col >= 50, "\U0001f7e0").otherwise("\U0001f534")
+        )
+
+    fill = F.floor(rate_pct / 5).cast("int")
+    bar = F.concat(
+        F.lit("["), F.repeat(F.lit("█"), fill),
+        F.repeat(F.lit("░"), F.lit(20) - fill),
+        F.lit("] "), rate_pct.cast("string"), F.lit("%"),
+    )
+    report_md = F.concat(
+        F.lit("# Document Evaluation: "), F.col("doc_id").cast("string"),
+        F.lit("\n\n## Summary\n- **Match Rate**: "), indicator(rate_pct),
+        F.lit(" "), matched_n.cast("string"), F.lit("/"), total.cast("string"),
+        F.lit(" attributes matched "), bar,
+        F.lit("\n- **Precision**: "), _pct(prec),
+        F.lit(" | **Recall**: "), _pct(rec),
+        F.lit(" | **F1 Score**: "), indicator(f1_pct), F.lit(" "), _pct(f1),
+        F.lit("\n\n"), F.col("sections_md"),
+    )
+    return doc.select("doc_id", report_md.alias("report_md"))

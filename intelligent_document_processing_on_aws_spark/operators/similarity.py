@@ -40,26 +40,56 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _query_df(
+    embeddings: DataFrame,
+    queries: DataFrame | None,
+    n_queries: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, bool]:
+    """Normalize the query side of an ANN call.
+
+    Production signature: a separate ``queries(query_id, q_vec)`` DataFrame
+    — queries need not live in the corpus id-space. Convenience fallback
+    (queries=None): the first n_queries corpus ids, with self-exclusion so
+    a vector is not its own neighbor. Returns (queries_df, exclude_self).
+    """
+    if queries is not None:
+        return queries.select("query_id", "q_vec"), False
+    return (
+        embeddings.where(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        True,
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
+    queries: DataFrame | None = None,
     n_queries: int = 10,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool | None = None,
 ) -> DataFrame:
-    """Exact top-k neighbors for the first n_queries ids.
+    """Exact top-k neighbors per query over the full corpus scan.
 
+    queries: (query_id, q_vec) DataFrame — broadcast against the
+    partitioned corpus scan (the right baseline shape: no shuffle of the
+    corpus; queries-side must fit broadcast, repartition-join otherwise).
     Output: (query_id, rank, neighbor_id, cos_sim rounded to 6dp).
     Ordering: cos desc, neighbor_id asc (deterministic tie-break)."""
-    queries = embeddings.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    qdf, auto_excl = _query_df(embeddings, queries, n_queries, id_col, vec_col)
+    if exclude_self is None:
+        exclude_self = auto_excl
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    scored = corpus.join(F.broadcast(queries)).where(
-        F.col("neighbor_id") != F.col("query_id")
-    ).select(
+    scored = corpus.join(F.broadcast(qdf))
+    if exclude_self:
+        scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
@@ -192,8 +222,44 @@ def ivf_assign(embeddings: DataFrame, centroids: np.ndarray,
     return embeddings.select(id_col, vec_col).mapInPandas(run, IVF_SCHEMA)
 
 
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("q_vec", T.ArrayType(T.FloatType())),
+        T.StructField("centroid", T.IntegerType()),
+    ]
+)
+
+
+def ivf_probes(queries: DataFrame, centroids: np.ndarray, n_probe: int) -> DataFrame:
+    """(query_id, q_vec, centroid) x n_probe — nearest-cell assignment runs
+    distributed (one numpy matmul per Arrow batch, centroids in closure),
+    so the query side never round-trips the driver and can itself be a
+    billion-row table."""
+    C = centroids
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            M = np.stack(pdf["q_vec"].to_numpy()).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(M @ C.T), axis=1)[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy().repeat(n_probe),
+                    "q_vec": [v for v in pdf["q_vec"] for _ in range(n_probe)],
+                    "centroid": order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return queries.select("query_id", "q_vec").mapInPandas(run, PROBE_SCHEMA)
+
+
 def ivf_topk(
     embeddings: DataFrame,
+    queries: DataFrame | None = None,
     n_queries: int = 10,
     k: int = 5,
     n_centroids: int = 16,
@@ -201,11 +267,17 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool | None = None,
 ) -> DataFrame:
     """IVF ANN: corpus partitioned into centroid cells; each query probes
     its n_probe nearest cells; exact cosine re-rank within candidates.
-    Candidate volume ~ corpus * n_probe / n_centroids per query."""
-    spark = embeddings.sparkSession
+    Candidate volume ~ corpus * n_probe / n_centroids per query.
+    queries: (query_id, q_vec) DataFrame; probe assignment is distributed
+    (ivf_probes), only the centroid table (n_centroids x dim) lives on the
+    driver — the bounded index-build sample in build_ivf_centroids."""
+    qdf, auto_excl = _query_df(embeddings, queries, n_queries, id_col, vec_col)
+    if exclude_self is None:
+        exclude_self = auto_excl
     C = build_ivf_centroids(embeddings, n_centroids, seed=seed,
                             id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(embeddings, C, id_col, vec_col)
@@ -214,27 +286,11 @@ def ivf_topk(
         F.col(vec_col).alias("c_vec"),
         "centroid",
     )
-    # query-side probe lists (driver-side: n_queries is small by contract)
-    q_rows = (
-        embeddings.where(F.col(id_col) < n_queries)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    probe_rows = []
-    for r in q_rows:
-        v = np.asarray(r[1], dtype=np.float64)
-        v = v / max(np.linalg.norm(v), 1e-12)
-        order = np.argsort(-(C @ v))[:n_probe]
-        for c in order:
-            probe_rows.append((int(r[0]), list(map(float, r[1])), int(c)))
-    probes = spark.createDataFrame(
-        probe_rows, f"query_id long, q_vec array<float>, centroid int"
-    )
-    scored = corpus.join(
-        F.broadcast(probes),
-        (corpus["centroid"] == probes["centroid"])
-        & (F.col("neighbor_id") != F.col("query_id")),
-    ).select(
+    probes = ivf_probes(qdf, C, n_probe)
+    cond = corpus["centroid"] == probes["centroid"]
+    if exclude_self:
+        cond = cond & (F.col("neighbor_id") != F.col("query_id"))
+    scored = corpus.join(F.broadcast(probes), cond).select(
         "query_id", "neighbor_id",
         F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
     )
@@ -289,29 +345,37 @@ def lsh_buckets(
 def lsh_topk(
     embeddings: DataFrame,
     dim: int,
+    queries: DataFrame | None = None,
     n_queries: int = 10,
     k: int = 5,
     n_bits: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates from same-bucket vectors, exact cosine
-    re-rank. Single-probe per query (demo recall; production would
-    multi-probe neighboring buckets)."""
+    re-rank. queries: (query_id, q_vec) DataFrame, bucketed with the SAME
+    hyperplanes as the corpus. Single-probe per query (demo recall;
+    production would multi-probe neighboring buckets)."""
+    qdf, auto_excl = _query_df(embeddings, queries, n_queries, id_col, vec_col)
+    if exclude_self is None:
+        exclude_self = auto_excl
     buckets = lsh_buckets(embeddings, dim, n_bits, seed, id_col, vec_col)
-    with_b = embeddings.join(buckets, embeddings[id_col] == buckets["vec_id"]).select(
-        embeddings[id_col].alias("id"), F.col(vec_col).alias("vec"), "bucket"
+    c = embeddings.join(buckets, embeddings[id_col] == buckets["vec_id"]).select(
+        embeddings[id_col].alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"), "bucket",
     )
-    q = with_b.where(F.col("id") < n_queries).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"),
-        F.col("bucket").alias("q_bucket"),
+    q_buckets = lsh_buckets(
+        qdf, dim, n_bits, seed, id_col="query_id", vec_col="q_vec"
+    ).select(F.col("vec_id").alias("qb_id"), F.col("bucket").alias("q_bucket"))
+    q = qdf.join(q_buckets, qdf["query_id"] == q_buckets["qb_id"]).select(
+        "query_id", "q_vec", "q_bucket"
     )
-    c = with_b.select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "bucket"
-    )
-    scored = c.join(F.broadcast(q), (F.col("bucket") == F.col("q_bucket"))
-                    & (F.col("neighbor_id") != F.col("query_id"))).select(
+    cond = F.col("bucket") == F.col("q_bucket")
+    if exclude_self:
+        cond = cond & (F.col("neighbor_id") != F.col("query_id"))
+    scored = c.join(F.broadcast(q), cond).select(
         "query_id", "neighbor_id",
         F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
     )

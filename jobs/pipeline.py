@@ -85,13 +85,31 @@ def main() -> int:
     counts["summaries"] = summaries.count()
 
     if args.expected:
+        from intelligent_document_processing_on_aws_spark.operators.evaluation import (
+            evaluation_report,
+        )
+
         expected = spark.read.parquet(args.expected)
         counted = evaluate_attributes(expected, flat_actual, cfg)
         by_class = metrics_rollup(counted, "classification")
         by_class.withColumn("date", F.lit("2025-01-01")).write.mode(
             "overwrite"
         ).partitionBy("date").parquet(os.path.join(wh, "evaluation_metrics_by_class"))
-        overall = metrics_rollup(counted).collect()[0]
+        # overall metrics land in the warehouse like the by-class table
+        # (no driver round-trip of the result); the job summary reads the
+        # single aggregated row back from the committed table
+        metrics_rollup(counted).withColumn("date", F.lit("2025-01-01")).write.mode(
+            "overwrite"
+        ).partitionBy("date").parquet(os.path.join(wh, "evaluation_metrics_overall"))
+        evaluation_report(counted).write.mode("overwrite").parquet(
+            os.path.join(wh, "evaluation_reports")
+        )
+        counts["eval_reports"] = spark.read.parquet(
+            os.path.join(wh, "evaluation_reports")
+        ).count()
+        overall = spark.read.parquet(
+            os.path.join(wh, "evaluation_metrics_overall")
+        ).collect()[0]
         counts["eval_f1"] = round(overall.f1_score, 4)
         counts["eval_accuracy"] = round(overall.accuracy, 4)
 

@@ -199,3 +199,41 @@ def test_lsh_cosine_pairs_recall(spark):
     assert got <= truth            # no false positives (exact verify)
     assert len(got) >= 0.8 * len(truth)  # multi-table recall
     assert truth                   # planted twins must be above threshold
+
+
+def test_ann_queries_dataframe_api(spark):
+    """Production (corpus, queries) signature: corpus-derived queries with
+    exclude_self reproduce the n_queries fallback exactly, and an external
+    query vector (id outside the corpus range) gets ranked neighbors."""
+    from intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    qdf = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    legacy = {(r.query_id, r.rank, r.neighbor_id)
+              for r in brute_force_topk(df, n_queries=3, k=4).collect()}
+    via_df = {(r.query_id, r.rank, r.neighbor_id)
+              for r in brute_force_topk(df, queries=qdf, k=4,
+                                        exclude_self=True).collect()}
+    assert via_df == legacy
+
+    # external query: not in the corpus id-space, no self-exclusion needed
+    ext = spark.createDataFrame(
+        [(999, [float(x) for x in (vecs[7] + 0.01)])],
+        "query_id long, q_vec array<float>",
+    )
+    got = brute_force_topk(df, queries=ext, k=3).collect()
+    assert [r.neighbor_id for r in got if r.rank == 1] == [7]
+    assert len(got) == 3
+
+    ivf_ext = ivf_topk(df, queries=ext, k=3, n_centroids=4, n_probe=4)
+    rows = ivf_ext.collect()
+    assert rows and rows[0].neighbor_id == 7  # n_probe=all cells -> exact
