@@ -76,10 +76,33 @@ def _col_letter(c: int) -> str:
     return s
 
 
+EXCEL_EPOCH_ORDINAL = 693594  # datetime(1899,12,30).toordinal()
+
+
+def _styles_xml(custom_fmt: bool) -> str:
+    """styles.xml with style index 1 = a date number format: either the
+    builtin numFmtId 14 or a custom yyyy-mm-dd code (both must be detected
+    by the decoder's date-style sniff)."""
+    num_fmts = (
+        '<numFmts count="1">'
+        '<numFmt numFmtId="164" formatCode="yyyy-mm-dd"/></numFmts>'
+        if custom_fmt else ""
+    )
+    date_id = 164 if custom_fmt else 14
+    return (
+        f'<?xml version="1.0"?><styleSheet xmlns="{S}">{num_fmts}'
+        '<cellXfs count="2">'
+        '<xf numFmtId="0"/>'
+        f'<xf numFmtId="{date_id}" applyNumberFormat="1"/>'
+        "</cellXfs></styleSheet>"
+    )
+
+
 def _xlsx_payload(
-    sheets: dict[str, list[list[str]]],
+    sheets: dict[str, list[list]],
     rng: random.Random,
     sparse: bool = True,
+    custom_date_fmt: bool = False,
 ) -> bytes:
     """Real-world-shaped OOXML: cells carry ``r="A1"`` refs, EMPTY CELLS ARE
     OMITTED (the standard sparse encoding), sheet parts map through
@@ -109,6 +132,7 @@ def _xlsx_payload(
         f'<?xml version="1.0"?><Relationships xmlns="{PKG_R}">{rels_xml}'
         "</Relationships>"
     )
+    has_dates = False
     for k, rows in enumerate(sheets.values()):
         row_xml = []
         for ri, row in enumerate(rows, start=1):
@@ -117,6 +141,10 @@ def _xlsx_payload(
                 if sparse and val == "":
                     continue  # omitted cell: the r= ref on neighbors carries position
                 ref = f"{_col_letter(ci)}{ri}"
+                if isinstance(val, dict):  # date cell: numeric serial + style
+                    has_dates = True
+                    cells.append(f'<c r="{ref}" s="1"><v>{val["serial"]}</v></c>')
+                    continue
                 try:
                     float(val)
                     cells.append(f'<c r="{ref}"><v>{val}</v></c>')
@@ -129,6 +157,8 @@ def _xlsx_payload(
             f'<?xml version="1.0"?><worksheet xmlns="{S}">'
             f'<sheetData>{"".join(row_xml)}</sheetData></worksheet>'
         )
+    if has_dates:
+        entries["xl/styles.xml"] = _styles_xml(custom_date_fmt)
     entries["[Content_Types].xml"] = "<Types/>"
     return _zip_bytes(entries)
 
@@ -158,10 +188,12 @@ def gen_office_doc(i: int) -> dict:
     sheets: dict[str, list[list[str]]] = {}
     golden_parts: list[str] = []
     multi = n_sheets > 1
+    custom_date_fmt = rng.random() < 0.5  # builtin numFmtId 14 vs custom code
     for s in range(n_sheets):
         name = f"Data{s + 1}"
-        rows = [["Item", "Qty", "Price"]]
+        rows: list[list] = [["Item", "Qty", "Price", "Date", "Billed"]]
         data = []
+        golden_rows = []
         for _ in range(2 + rng.randrange(4)):
             qty = str(rng.randrange(1, 5000))
             price = f"{rng.uniform(1, 900):.2f}"
@@ -171,24 +203,34 @@ def gen_office_doc(i: int) -> dict:
                 qty = ""
             if rng.random() < 0.15:
                 price = ""
-            data.append([_words(rng, 2), qty, price])
+            # Date: stored as a styled numeric serial; golden is %Y-%m-%d
+            # (reference formats datetime64 columns that way,
+            # document_converter.py:795-802)
+            import datetime as _dt
+
+            day = _dt.date(2024, 1, 1) + _dt.timedelta(days=rng.randrange(500))
+            serial = day.toordinal() - EXCEL_EPOCH_ORDINAL
+            # Billed: currency TEXT cell — passes through verbatim
+            # (document_converter.py:812-820 keeps $-prefixed text as text)
+            billed = f"${rng.uniform(10, 9000):,.2f}" if rng.random() < 0.8 else ""
+            item = _words(rng, 2)
+            data.append([item, qty, price, {"serial": serial}, billed])
+            golden_rows.append([
+                item,
+                format_int(int(qty)) if qty else "",
+                format_float(float(price)) if price else "",
+                day.strftime("%Y-%m-%d"),
+                billed,
+            ])
         rows += data
         sheets[name] = rows
         if multi:
             golden_parts.append(f"## {name}")
-        formatted = [rows[0]] + [
-            [
-                r[0],
-                format_int(int(r[1])) if r[1] else "",
-                format_float(float(r[2])) if r[2] else "",
-            ]
-            for r in data
-        ]
-        golden_parts.append(format_pipe_table(formatted))
+        golden_parts.append(format_pipe_table([rows[0]] + golden_rows))
     return {
         "doc_id": i,
         "kind": "xlsx",
-        "payload": _xlsx_payload(sheets, rng),
+        "payload": _xlsx_payload(sheets, rng, custom_date_fmt=custom_date_fmt),
         "extracted_text": "\n\n".join(golden_parts),
     }
 

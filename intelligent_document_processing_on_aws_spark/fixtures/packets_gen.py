@@ -293,6 +293,46 @@ def gen_segments(pk: dict) -> list[dict]:
     ]
 
 
+def _conf_leaf(d: int, sid: str, path: str) -> tuple[dict, float, float | None]:
+    rng = random.Random(f"conf-{d}-{sid}-{path}")
+    conf = round(rng.uniform(0.5, 1.0), 2)
+    thr = None if rng.random() < 0.2 else rng.choice((0.8, 0.9))
+    leaf = {"confidence": conf}
+    if thr is not None:
+        leaf["confidence_threshold"] = thr
+    return leaf, conf, thr
+
+
+def build_conf_tree(
+    d: int, sid: str, node: dict, path: str = ""
+) -> tuple[dict, list[tuple[str, float, float | None]]]:
+    """Mirror an attributes dict as an explainability_info tree with
+    {confidence, confidence_threshold} leaves; also returns the flat
+    (path, confidence, threshold) rows computed from the construction —
+    the golden for the flatten kernel (never via the kernel itself)."""
+    tree: dict = {}
+    flat: list[tuple[str, float, float | None]] = []
+    for key, value in node.items():
+        p = f"{path}.{key}" if path else key
+        if isinstance(value, dict):
+            sub, fl = build_conf_tree(d, sid, value, p)
+            tree[key] = sub
+            flat.extend(fl)
+        elif isinstance(value, list):
+            items = []
+            for i, item in enumerate(value):
+                if isinstance(item, dict):
+                    sub, fl = build_conf_tree(d, sid, item, f"{p}[{i}]")
+                    items.append(sub)
+                    flat.extend(fl)
+            tree[key] = items
+        else:
+            leaf, conf, thr = _conf_leaf(d, sid, p)
+            tree[key] = leaf
+            flat.append((p, conf, thr))
+    return tree, flat
+
+
 def gen_packets(n: int) -> list[dict]:
     return [gen_packet(d) for d in range(n)]
 
@@ -301,6 +341,7 @@ def packet_tables(n: int) -> dict[str, list[dict]]:
     """Materialize all fixture tables for n packets."""
     pages_rows, section_rows, attr_rows, actual_rows = [], [], [], []
     flat_exp_rows, flat_act_rows, segment_rows = [], [], []
+    payload_rows, flat_conf_rows = [], []
     for pk in gen_packets(n):
         d, url = pk["doc_id"], pk["url"]
         segment_rows.extend(gen_segments(pk))
@@ -348,9 +389,28 @@ def packet_tables(n: int) -> dict[str, list[dict]]:
                      "classification": s["classification"], "attr_path": path,
                      "value": None if v is None else str(v)}
                 )
+            # full extraction-result payload: inference_result envelope +
+            # explainability_info confidence tree (evaluation/service.py:
+            # 276-321 input shape); golden flat rows from the construction
+            conf_tree, conf_flat = build_conf_tree(d, s["section_id"], actual)
+            payload_rows.append(
+                {"doc_id": d, "section_id": s["section_id"],
+                 "payload_json": json.dumps(
+                     {"inference_result": actual,
+                      "explainability_info": [conf_tree]},
+                     sort_keys=True)}
+            )
+            for path, conf, thr in conf_flat:
+                flat_conf_rows.append(
+                    {"doc_id": d, "section_id": s["section_id"],
+                     "attr_path": path, "confidence": conf,
+                     "confidence_threshold": thr}
+                )
     return {
         "packet_pages": pages_rows,
         "packet_segments": segment_rows,
+        "extraction_payloads": payload_rows,
+        "golden_flat_confidence": flat_conf_rows,
         "golden_sections": section_rows,
         "golden_attributes": attr_rows,
         "actual_attributes": actual_rows,

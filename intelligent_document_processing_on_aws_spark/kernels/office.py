@@ -60,6 +60,53 @@ def docx_to_parts(payload: bytes) -> list[str]:
     return parts
 
 
+# builtin OOXML numFmtIds that render as dates/times (ECMA-376 §18.8.30);
+# custom formats are date-like when their code carries y/m/d/h tokens
+_DATE_NUMFMT_IDS = frozenset(range(14, 23)) | frozenset(range(45, 48))
+_EXCEL_EPOCH_ORDINAL = 693594  # datetime(1899,12,30).toordinal()
+
+
+def _is_date_format_code(code: str) -> bool:
+    # strip quoted literals, [brackets] and escapes before token sniffing
+    bare = re.sub(r'"[^"]*"|\[[^\]]*\]|\\.', "", code).lower()
+    return any(c in bare for c in "ymdh")
+
+
+def xlsx_date_styles(zf: zipfile.ZipFile, names: list[str]) -> frozenset[int]:
+    """Style indexes (cellXfs order) whose number format is a date format.
+
+    Mirrors what pandas/openpyxl give the reference for free
+    (document_converter.py:795-802 formats datetime64 columns as
+    ``%Y-%m-%d``): raw OOXML stores dates as numeric serials whose
+    date-ness lives only in styles.xml."""
+    if "xl/styles.xml" not in names:
+        return frozenset()
+    root = ET.fromstring(zf.read("xl/styles.xml"))
+    date_ids = set(_DATE_NUMFMT_IDS)
+    for fmt in root.iter(f"{S_NS}numFmt"):
+        fid, code = fmt.get("numFmtId"), fmt.get("formatCode", "")
+        if fid and _is_date_format_code(code):
+            date_ids.add(int(fid))
+    styles: set[int] = set()
+    cell_xfs = root.find(f"{S_NS}cellXfs")
+    if cell_xfs is not None:
+        for i, xf in enumerate(cell_xfs.findall(f"{S_NS}xf")):
+            if int(xf.get("numFmtId", "0")) in date_ids:
+                styles.add(i)
+    return frozenset(styles)
+
+
+def _serial_to_date(raw: str) -> str:
+    """Excel date serial -> '%Y-%m-%d' (1900 date system; the 1899-12-30
+    epoch bakes in Excel's historical 1900-leap-year quirk for serials
+    past 60, matching what openpyxl hands pandas)."""
+    from datetime import date
+
+    return date.fromordinal(
+        _EXCEL_EPOCH_ORDINAL + int(float(raw))
+    ).strftime("%Y-%m-%d")
+
+
 _CELL_REF_RE = re.compile(r"([A-Z]+)\d*")
 
 
@@ -74,7 +121,9 @@ def _col_index(ref: str | None) -> int | None:
     return n - 1
 
 
-def _xlsx_sheet_rows(xml: bytes, shared: list[str]) -> list[list[str]]:
+def _xlsx_sheet_rows(
+    xml: bytes, shared: list[str], date_styles: frozenset[int] = frozenset()
+) -> list[list[str]]:
     """Rows with cells placed at their true column index: OOXML sparsely
     encodes rows (empty cells are OMITTED, the `r="A1"` ref carries the
     position), so positional append would silently shift all columns
@@ -103,6 +152,12 @@ def _xlsx_sheet_rows(xml: bytes, shared: list[str]) -> list[list[str]]:
             else:
                 v = c.find(f"{S_NS}v")
                 val = v.text if v is not None and v.text else ""
+                s_attr = c.get("s")
+                if val and s_attr and int(s_attr) in date_styles:
+                    try:
+                        val = _serial_to_date(val)
+                    except (ValueError, OverflowError):
+                        pass  # malformed serial: keep the raw value
             if len(cells) == col:
                 cells.append(val)
             else:
@@ -156,6 +211,7 @@ def xlsx_to_sheets(payload: bytes) -> dict[str, list[list[str]]]:
                 for si in sroot.iter(f"{S_NS}si")
             ]
         rels = _workbook_rels(zf, names)
+        date_styles = xlsx_date_styles(zf, names)
         entries: list[tuple[str, str | None]] = []  # (sheet name, zip path)
         if "xl/workbook.xml" in names:
             wb = ET.fromstring(zf.read("xl/workbook.xml"))
@@ -178,7 +234,8 @@ def xlsx_to_sheets(payload: bytes) -> dict[str, list[list[str]]]:
         sheets: dict[str, list[list[str]]] = {}
         for name, path in entries:
             sheets[name] = (
-                _xlsx_sheet_rows(zf.read(path), shared) if path else []
+                _xlsx_sheet_rows(zf.read(path), shared, date_styles)
+                if path else []
             )
     return sheets
 

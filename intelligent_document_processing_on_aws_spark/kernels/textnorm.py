@@ -152,6 +152,49 @@ def flatten_nested_data(data: dict, parent_key: str = "") -> dict[str, Any]:
     return flattened
 
 
+def flatten_confidence_scores(
+    confidence_data: dict, parent_key: str = ""
+) -> dict[str, dict[str, float | None]]:
+    """explainability_info tree -> {path: {confidence, confidence_threshold}}
+    (exact mirror of evaluation/service.py:232-274): a dict carrying a
+    ``confidence`` key is a leaf assessment; other dicts recurse; list
+    items recurse with ``[i]`` path segments; scalars are ignored."""
+    flattened: dict[str, dict[str, float | None]] = {}
+    for key, value in confidence_data.items():
+        full_key = f"{parent_key}.{key}" if parent_key else key
+        if isinstance(value, dict):
+            if "confidence" in value:
+                thr = value.get("confidence_threshold")
+                flattened[full_key] = {
+                    "confidence": float(value["confidence"]),
+                    "confidence_threshold": float(thr) if thr is not None else None,
+                }
+            else:
+                flattened.update(flatten_confidence_scores(value, full_key))
+        elif isinstance(value, list):
+            for i, item in enumerate(value):
+                if isinstance(item, dict):
+                    flattened.update(
+                        flatten_confidence_scores(item, f"{full_key}[{i}]")
+                    )
+    return flattened
+
+
+def load_extraction_payload(content: Any) -> tuple[dict, dict]:
+    """(flat_results, flat_confidence) from one extraction-result document
+    (evaluation/service.py:276-321 minus the S3 fetch): unwraps the
+    ``inference_result`` envelope and flattens ``explainability_info[0]``."""
+    if not isinstance(content, dict):
+        return {}, {}
+    raw = content.get("inference_result", content)
+    results = flatten_nested_data(raw) if isinstance(raw, dict) else {}
+    confidences: dict = {}
+    info = content.get("explainability_info")
+    if isinstance(info, list) and info and isinstance(info[0], dict):
+        confidences = flatten_confidence_scores(info[0])
+    return results, confidences
+
+
 _INDEX_RE = re.compile(r"\[\d+\]")
 
 

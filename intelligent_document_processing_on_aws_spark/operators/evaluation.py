@@ -395,3 +395,51 @@ def evaluation_report(counted: DataFrame) -> DataFrame:
         F.lit("\n\n"), F.col("sections_md"),
     )
     return doc.select("doc_id", report_md.alias("report_md"))
+
+
+CONFIDENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("section_id", T.StringType()),
+        T.StructField("attr_path", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+        T.StructField("confidence_threshold", T.DoubleType()),
+    ]
+)
+
+
+def flatten_confidence_payloads(
+    df: DataFrame, json_col: str = "payload_json"
+) -> DataFrame:
+    """Extraction-result payloads -> per-path confidence rows.
+
+    Consumes the UPSTREAM assessment's explainability_info (the reference's
+    evaluation loads these from the stored result document,
+    evaluation/service.py:276-321), rather than recomputing confidences:
+    unwraps the inference_result envelope, flattens explainability_info[0]
+    to {path: {confidence, confidence_threshold}} rows. Arrow-batched
+    mapInPandas over the pure kernel; row-parallel, no shuffle."""
+    from ..kernels.textnorm import load_extraction_payload
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "section_id", "attr_path",
+                                   "confidence", "confidence_threshold")}
+            for doc_id, section_id, raw in zip(
+                pdf["doc_id"], pdf["section_id"], pdf[json_col]
+            ):
+                try:
+                    _, confs = load_extraction_payload(json.loads(raw))
+                except (json.JSONDecodeError, TypeError):
+                    continue  # malformed payload: contribute no rows
+                for path, c in confs.items():
+                    out["doc_id"].append(doc_id)
+                    out["section_id"].append(section_id)
+                    out["attr_path"].append(path)
+                    out["confidence"].append(c["confidence"])
+                    out["confidence_threshold"].append(c["confidence_threshold"])
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "section_id", json_col).mapInPandas(
+        run, CONFIDENCE_SCHEMA
+    )

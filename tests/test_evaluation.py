@@ -169,3 +169,58 @@ def test_hungarian_spark_vs_kernel(spark, fixtures_dir):
         r = rows[(doc_id, sec)]
         assert (r.tp, r.fp) == (tp, fp), (doc_id, sec)
         assert r.avg_score == pytest.approx(avg)
+
+
+def test_flatten_confidence_scores_kernel():
+    """Exact mirror of evaluation/service.py:232-274: dicts with a
+    'confidence' key are leaves, other dicts recurse, lists recurse with
+    [i] segments, scalars and scalar lists are ignored."""
+    from intelligent_document_processing_on_aws_spark.kernels.textnorm import (
+        flatten_confidence_scores,
+        load_extraction_payload,
+    )
+
+    tree = {
+        "Account Number": {"confidence": 0.91, "confidence_threshold": 0.8},
+        "Address": {
+            "City": {"confidence": 0.7},  # threshold absent -> None
+            "ZIP": {"confidence": 0.99, "confidence_threshold": 0.9},
+        },
+        "Transactions": [
+            {"Amount": {"confidence": 0.6, "confidence_threshold": 0.8}},
+            {"Amount": {"confidence": 0.8, "confidence_threshold": 0.8}},
+        ],
+        "ignored_scalar": 5,
+        "ignored_list": [1, 2],
+    }
+    flat = flatten_confidence_scores(tree)
+    assert flat["Account Number"] == {"confidence": 0.91, "confidence_threshold": 0.8}
+    assert flat["Address.City"] == {"confidence": 0.7, "confidence_threshold": None}
+    assert flat["Transactions[0].Amount"]["confidence"] == 0.6
+    assert flat["Transactions[1].Amount"]["confidence"] == 0.8
+    assert "ignored_scalar" not in flat and "ignored_list" not in flat
+
+    results, confs = load_extraction_payload(
+        {"inference_result": {"a": 1}, "explainability_info": [tree]}
+    )
+    assert results == {"a": 1} and confs == flat
+    # unwrapped payload: whole dict is the result, no confidences
+    results, confs = load_extraction_payload({"a": 1})
+    assert results == {"a": 1} and confs == {}
+    assert load_extraction_payload("not a dict") == ({}, {})
+
+
+def test_flatten_confidence_payloads_matches_golden(spark, fixtures_dir):
+    import os
+
+    from intelligent_document_processing_on_aws_spark.operators.evaluation import (
+        flatten_confidence_payloads,
+    )
+
+    payloads = spark.read.parquet(os.path.join(fixtures_dir, "extraction_payloads.parquet"))
+    golden = spark.read.parquet(os.path.join(fixtures_dir, "golden_flat_confidence.parquet"))
+    got = {(r.doc_id, r.section_id, r.attr_path): (r.confidence, r.confidence_threshold)
+           for r in flatten_confidence_payloads(payloads).collect()}
+    want = {(r.doc_id, r.section_id, r.attr_path): (r.confidence, r.confidence_threshold)
+            for r in golden.collect()}
+    assert got == want
