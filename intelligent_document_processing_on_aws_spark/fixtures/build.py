@@ -135,6 +135,20 @@ def build_csv(out_dir: str = FIXTURES_DIR, n: int = N_CSV) -> None:
     print(f"wrote csv_docs/csv_golden: {n} rows")
 
 
+N_SUMMARY = 120
+
+
+def build_summaries(out_dir: str = FIXTURES_DIR, n: int = N_SUMMARY) -> None:
+    from .summary_gen import summary_tables
+
+    for name, rows in summary_tables(n).items():
+        cols = list(rows[0].keys())
+        table = pa.Table.from_pydict({c: [r[c] for r in rows] for c in cols})
+        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"),
+                       compression="zstd")
+        print(f"wrote {name}: {len(rows)} rows")
+
+
 def build(out_dir: str = FIXTURES_DIR) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for tier, n in TIERS.items():
@@ -146,6 +160,7 @@ def build(out_dir: str = FIXTURES_DIR) -> None:
     build_office(out_dir)
     build_realpdf(out_dir)
     build_csv(out_dir)
+    build_summaries(out_dir)
 
 
 if __name__ == "__main__":

@@ -80,7 +80,17 @@ def main() -> int:
     alerts.write.mode("overwrite").parquet(os.path.join(wh, "confidence_alerts"))
     counts["alerts"] = spark.read.parquet(os.path.join(wh, "confidence_alerts")).count()
 
-    summaries = assemble_document_markdown(summarize_sections(sections))
+    section_summaries = summarize_sections(sections)
+    summaries = assemble_document_markdown(section_summaries)
+    # reference-parity combined summary (markdown_formatter.py semantics:
+    # duplicate-title removal, citation prefixing, TOC/anchors/navigation)
+    from intelligent_document_processing_on_aws_spark.operators.summarize import (
+        format_document_summaries,
+    )
+
+    format_document_summaries(section_summaries).write.mode("overwrite").parquet(
+        os.path.join(wh, "document_summaries_md")
+    )
     summaries.write.mode("overwrite").parquet(os.path.join(wh, "document_summaries"))
     counts["summaries"] = summaries.count()
 

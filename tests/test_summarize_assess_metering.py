@@ -163,3 +163,75 @@ def test_metering_merge_and_costs(spark):
               for r in with_costs(merge_metering(exploded), pricing).collect()}
     assert costed[("ocr", "pages")].estimated_cost == pytest.approx(0.05)
     assert costed[("extract", "requests")].estimated_cost == 0.0
+
+
+# ---------------------------------------------------------------------------
+# SummaryMarkdownFormatter parity kernel (markdown_formatter.py:15-418)
+# ---------------------------------------------------------------------------
+
+
+def test_summary_md_remove_existing_title():
+    from intelligent_document_processing_on_aws_spark.kernels.summary_md import (
+        remove_existing_title,
+    )
+
+    # section-name variation at any heading level is stripped
+    assert remove_existing_title("## Bank Statement\nbody here",
+                                 "bank_statement") == "body here"
+    assert remove_existing_title("# bank_statement\nbody", "bank_statement") == "body"
+    # LLM-style generic heading is stripped even when it matches no variation
+    assert remove_existing_title("## Summary of Document\n\nbody",
+                                 "invoice") == "body"
+    # plain body untouched
+    assert remove_existing_title("no heading here", "invoice") == "no heading here"
+    # heading-only content degrades to empty
+    assert remove_existing_title("## Invoice", "invoice") == ""
+
+
+def test_summary_md_citation_rewrite():
+    from intelligent_document_processing_on_aws_spark.kernels.summary_md import (
+        process_citations,
+    )
+
+    raw = ("total due [[Cite-1, Page-3]](#cite-1-page-3)\n\nReferences\n"
+           '[Cite-1, Page-3]: <a id="cite-1-page-3"></a> source doc')
+    out = process_citations(raw, "Bank Statement")
+    assert "[[Bank-Statement-Cite-1, Page-3]](#bank-statement-cite-1-page-3)" in out
+    assert "References for Bank Statement" in out
+    assert '[Bank-Statement-Cite-1, Page-3]: <a id="bank-statement-cite-1-page-3"></a>' in out
+    # content without citations passes through untouched
+    assert process_citations("plain", "X") == "plain"
+
+
+def test_summary_md_toc_anchors_and_separators():
+    from intelligent_document_processing_on_aws_spark.kernels.summary_md import (
+        format_document_summary,
+    )
+
+    md = format_document_summary(
+        [("1", "bank_statement", "alpha"), ("2", None, "beta")]
+    )
+    assert md.startswith("# Document Summary\n\n# Table of Contents\n")
+    assert "1. [Bank Statement](#1-bank-statement)" in md
+    assert "2. [Section 2](#2-section-2)" in md
+    assert '## 1. Bank Statement <a id="1-bank-statement"></a>' in md
+    assert "[Back to Top](#table-of-contents)" in md
+    assert md.count("\n\n---\n\n") == 1  # separator between, not after last
+    # include_toc=False: no TOC, no back-to-top
+    md2 = format_document_summary([("1", "invoice", "x")], include_toc=False)
+    assert "Table of Contents" not in md2 and "Back to Top" not in md2
+
+
+def test_summary_operator_matches_golden(spark, fixtures_dir):
+    import os
+
+    from intelligent_document_processing_on_aws_spark.operators.summarize import (
+        format_document_summaries,
+    )
+
+    secs = spark.read.parquet(os.path.join(fixtures_dir, "summary_sections.parquet"))
+    golden = {r.doc_id: r.summary_markdown for r in spark.read.parquet(
+        os.path.join(fixtures_dir, "golden_summary_markdown.parquet")).collect()}
+    got = {r.doc_id: r.summary_markdown for r in
+           format_document_summaries(secs, content_col="content").collect()}
+    assert got == golden
