@@ -34,7 +34,10 @@ from intelligent_document_processing_on_aws_spark.operators.dedup import (  # no
 )
 from intelligent_document_processing_on_aws_spark.operators.extraction import extract_pages  # noqa: E402
 from intelligent_document_processing_on_aws_spark.session import get_spark  # noqa: E402
-from intelligent_document_processing_on_aws_spark.sources.pages_source import synthetic_pages  # noqa: E402
+from intelligent_document_processing_on_aws_spark.sources.pages_source import (  # noqa: E402
+    synthetic_pages,
+    synthetic_real_pdfs,
+)
 
 N_EXTRACT = int(os.environ.get("BENCH_EXTRACT_ROWS", "100000"))
 
@@ -71,6 +74,22 @@ def main() -> int:
     )
     extract_dps = round(n_extract / timings["extract_corpus"], 1)
 
+    # q1b: genuine %PDF decode throughput (object scan + FlateDecode +
+    # text-operator interpretation), executor-generated corpus
+    n_pdf = int(os.environ.get("BENCH_PDF_ROWS", "20000"))
+    pdf_corpus = f"/tmp/idp_bench_pdfs_{n_pdf}"
+    if not os.path.exists(os.path.join(pdf_corpus, "_SUCCESS")):
+        synthetic_real_pdfs(spark, n_pdf, partitions=cpus * 2).write.mode(
+            "overwrite"
+        ).parquet(pdf_corpus)
+    n_pdf_done = timed(
+        "extract_real_pdf",
+        lambda: extract_pages(
+            spark.read.parquet(pdf_corpus), salt_partitions=cpus * 2
+        ).count(),
+    )
+    pdf_dps = round(n_pdf_done / timings["extract_real_pdf"], 1)
+
     timed("doc_stats", lambda: q_doc_stats(spark, sf_dir)
           .agg(F.sum("n_tokens"), F.avg("quality")).collect())
     timed("dedup_ngram_jaccard",
@@ -91,6 +110,8 @@ def main() -> int:
         "sf": sf,
         "extract_docs_per_sec": extract_dps,
         "extract_rows": n_extract,
+        "realpdf_docs_per_sec": pdf_dps,
+        "realpdf_rows": n_pdf_done,
         "cpus": cpus,
     }))
     spark.stop()
