@@ -39,10 +39,19 @@ def _zip_bytes(entries: dict[str, str]) -> bytes:
     return buf.getvalue()
 
 
-def _docx_payload(paragraphs: list[str], table_rows: list[list[str]] | None) -> bytes:
+def _docx_payload(paragraphs: list, table_rows: list[list[str]] | None) -> bytes:
+    """Paragraphs are strings or (heading_level, text) tuples — headings
+    carry the OOXML pStyle Heading{N} marker the decoder maps to markdown."""
     body = []
     for p in paragraphs:
-        body.append(f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>")
+        if isinstance(p, tuple):
+            level, text = p
+            body.append(
+                f'<w:p><w:pPr><w:pStyle w:val="Heading{level}"/></w:pPr>'
+                f"<w:r><w:t>{text}</w:t></w:r></w:p>"
+            )
+        else:
+            body.append(f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>")
     if table_rows:
         trs = []
         for row in table_rows:
@@ -167,9 +176,18 @@ def gen_office_doc(i: int) -> dict:
     """One office doc: payload bytes + golden extracted text."""
     rng = random.Random(f"office-{i}-42")
     if i % 2 == 0:  # docx
-        paragraphs = [_words(rng, 8 + rng.randrange(12)) for _ in range(2 + rng.randrange(3))]
+        paragraphs: list = []
+        golden_parts: list[str] = []
+        if rng.random() < 0.5:  # leading heading paragraph
+            level = 1 + rng.randrange(3)
+            head = _words(rng, 3)
+            paragraphs.append((level, head))
+            golden_parts.append(f"{'#' * level} {head}")
+        for _ in range(2 + rng.randrange(3)):
+            p = _words(rng, 8 + rng.randrange(12))
+            paragraphs.append(p)
+            golden_parts.append(p)
         table = None
-        golden_parts = list(paragraphs)
         if rng.random() < 0.7:
             table = [["Name", "Count"]] + [
                 [_words(rng, 2), str(rng.randrange(1, 999))]

@@ -22,7 +22,10 @@ TEXT = "text"
 CSV = "csv"
 XLSX = "xlsx"
 DOCX = "docx"
+IMAGE = "image"
 UNKNOWN = "unknown"
+
+_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".gif", ".bmp", ".tiff", ".tif", ".webp")
 
 
 def looks_like_csv(text: str) -> bool:
@@ -51,6 +54,13 @@ def detect_content_type(content: bytes, name_hint: str | None = None) -> str:
         if b"word/" in head:
             return DOCX
         return UNKNOWN
+    # image magic bytes (the reference routes jpg/jpeg/png/gif/bmp/tiff/webp
+    # by extension, ocr/service.py:1657-1658; magic is the stronger signal)
+    if (content.startswith(b"\x89PNG\r\n\x1a\n") or content.startswith(b"\xff\xd8")
+            or content[:6] in (b"GIF87a", b"GIF89a") or content.startswith(b"BM")
+            or content[:4] in (b"II*\x00", b"MM\x00*")
+            or (content[:4] == b"RIFF" and content[8:12] == b"WEBP")):
+        return IMAGE
     try:
         text = content.decode("utf-8")
     except UnicodeDecodeError:
@@ -63,6 +73,8 @@ def detect_content_type(content: bytes, name_hint: str | None = None) -> str:
         return CSV
     if hint.endswith(".txt"):
         return TEXT
+    if hint.endswith(_IMAGE_EXTS):
+        return IMAGE  # extension says image but bytes decoded as utf-8
     if looks_like_csv(text):
         return CSV
     return TEXT

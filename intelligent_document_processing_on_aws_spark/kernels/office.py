@@ -47,7 +47,18 @@ def docx_to_parts(payload: bytes) -> list[str]:
         if child.tag == f"{W_NS}p":
             text = "".join(t.text or "" for t in child.iter(f"{W_NS}t")).strip()
             if text:
-                parts.append(text)
+                # Heading styles -> markdown headings (the reference reads
+                # paragraph.style "Heading N" and renders heading levels,
+                # document_converter.py:269-279; pStyle w:val carries it
+                # in raw OOXML)
+                style = child.find(f"{W_NS}pPr/{W_NS}pStyle")
+                sval = (style.get(f"{W_NS}val") or "") if style is not None else ""
+                m = re.fullmatch(r"Heading\s*(\d+)", sval)
+                if m:
+                    level = min(max(int(m.group(1)), 1), 6)
+                    parts.append(f"{'#' * level} {text}")
+                else:
+                    parts.append(text)
         elif child.tag == f"{W_NS}tbl":
             rows = [
                 [_docx_cell_text(tc) for tc in tr.findall(f"{W_NS}tc")]

@@ -79,3 +79,31 @@ def threshold_alerts(assessed: DataFrame) -> DataFrame:
         "doc_id", "section_id", "classification", "attr_path",
         "confidence", "confidence_threshold",
     )
+
+
+def bbox_geometry(bbox_col, page_col):
+    """[x1,y1,x2,y2] in 0-1000 scale + page -> geometry struct, the
+    reference's bbox conversion (assessment/granular_service.py:1238-1270):
+    coordinates reordered (min/max), scaled to 0-1 as
+    {boundingBox: {top, left, width, height}, page}. Returns NULL when the
+    bbox is not a 4-element array or the page is missing (the reference
+    skips geometry for malformed assessments, :1286-1310).
+
+    Pure Catalyst column expression — usable inside select/withColumn with
+    no UDF."""
+    bbox = bbox_col if not isinstance(bbox_col, str) else F.col(bbox_col)
+    page = page_col if not isinstance(page_col, str) else F.col(page_col)
+    x1 = F.least(bbox[0], bbox[2])
+    x2 = F.greatest(bbox[0], bbox[2])
+    y1 = F.least(bbox[1], bbox[3])
+    y2 = F.greatest(bbox[1], bbox[3])
+    box = F.struct(
+        (y1 / 1000.0).alias("top"),
+        (x1 / 1000.0).alias("left"),
+        ((x2 - x1) / 1000.0).alias("width"),
+        ((y2 - y1) / 1000.0).alias("height"),
+    )
+    return F.when(
+        (F.size(bbox) == 4) & page.isNotNull(),
+        F.struct(box.alias("boundingBox"), page.alias("page")),
+    )

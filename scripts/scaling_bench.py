@@ -211,6 +211,21 @@ def main() -> int:
     cap_high = max(e["high"]["docs_per_sec"] for e in matched)
     cap_eff = (cap_high / cap_low) / factor if cap_low else None
 
+    pinned_effs = sorted(
+        e["efficiency_pinned"] for e in pinned_runs
+        if e.get("efficiency_pinned") is not None
+    )
+    median_section = ""
+    if pinned_effs:
+        mid = len(pinned_effs) // 2
+        med = (pinned_effs[mid] if len(pinned_effs) % 2
+               else (pinned_effs[mid - 1] + pinned_effs[mid]) / 2)
+        median_section = (
+            f"- pinned-run efficiency distribution ({len(pinned_effs)} runs): "
+            f"{', '.join(f'{e:.3f}' for e in pinned_effs)} — "
+            f"**median {med:.3f}**\n"
+        )
+
     raw_row = ""
     raw_section = ""
     if low_raw:
@@ -278,7 +293,7 @@ frequency boost). Efficiency is the raw throughput ratio divided by
   **{high['docs_per_sec'] / low_struct['docs_per_sec']:.2f}x** (ideal {factor:.0f}x)
 - **scaling efficiency: {eff_struct:.3f}** (target >= 0.8) ->
   **{"PASS" if eff_struct >= 0.8 else "FAIL"}**
-{raw_section}
+{median_section}{raw_section}
 ### Hardware-ceiling control (no framework at all)
 
 Plain `multiprocessing.Pool` running the identical extraction kernel —

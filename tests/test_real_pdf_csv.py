@@ -258,3 +258,22 @@ def test_office_generator_roundtrip_subset():
         ctype, res = extract_page(d["payload"])
         assert ctype == d["kind"]
         assert res.extracted_text == d["extracted_text"], f"doc {d['doc_id']}"
+
+
+def test_image_magic_and_extension_detection():
+    """Image payloads route to 'image' (reference keys jpg/png/gif/bmp/
+    tiff/webp by extension, ocr/service.py:1657-1658; magic bytes are the
+    stronger signal) and degrade to an empty no-text extraction."""
+    import struct
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    assert filetype.detect_content_type(png) == "image"
+    assert filetype.detect_content_type(b"\xff\xd8\xff\xe0rest") == "image"
+    assert filetype.detect_content_type(b"GIF89a" + struct.pack("<HH", 2, 2)) == "image"
+    assert filetype.detect_content_type(b"BM" + b"\x00" * 10) == "image"
+    assert filetype.detect_content_type(b"II*\x00tiff") == "image"
+    assert filetype.detect_content_type(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "image"
+    # extension hint wins for decodable payloads
+    assert filetype.detect_content_type(b"ascii bytes", "scan.tiff") == "image"
+    ctype, res, err = extract_page_safe(png, "x.png")
+    assert ctype == "image" and res.extracted_text == "" and err is None

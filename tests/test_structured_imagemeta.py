@@ -227,3 +227,79 @@ def test_probe_image_meta_operator(spark):
     assert (out[2].width, out[2].height) == (320, 240)
     assert (out[3].width, out[3].height) == (7, 8)  # unparseable: unchanged
     assert (out[4].sample_rate, out[4].n_frames) == (30, 120)  # video untouched
+
+
+# ---------------------------------------------------------------------------
+# pixel-level image ops (image/__init__.py math, array-level)
+# ---------------------------------------------------------------------------
+
+
+def test_resize_array_fit_within_math():
+    import numpy as np
+
+    from intelligent_document_processing_on_aws_spark.kernels.image_ops import (
+        resize_array,
+    )
+
+    img = np.arange(200 * 100 * 3, dtype=np.uint8).reshape(100, 200, 3)
+    # fits already -> unchanged object semantics (same array back)
+    assert resize_array(img, 400, 300) is img
+    # either target None -> unchanged
+    assert resize_array(img, None, 50) is img
+    # downscale: scale = min(100/200, 80/100) = 0.5 -> 100x50
+    out = resize_array(img, 100, 80)
+    assert out.shape == (50, 100, 3)
+    # upscale only when allowed: scale = min(400/200, 300/100) = 2
+    assert resize_array(img, 400, 300, allow_upscale=True).shape == (200, 400, 3)
+    # grayscale 2-D path
+    g = np.full((40, 60), 128, dtype=np.uint8)
+    assert resize_array(g, 30, 30).shape == (20, 30)
+
+
+def test_resize_array_preserves_constant_and_gradient():
+    import numpy as np
+
+    from intelligent_document_processing_on_aws_spark.kernels.image_ops import (
+        resize_array,
+    )
+
+    const = np.full((64, 64), 77, dtype=np.uint8)
+    assert (resize_array(const, 32, 32) == 77).all()
+    # a horizontal gradient stays monotonic after bilinear downscale
+    grad = np.tile(np.arange(0, 256, 4, dtype=np.uint8), (16, 1))
+    out = resize_array(grad, 16, 16)
+    assert (np.diff(out[0].astype(int)) >= 0).all()
+
+
+def test_adaptive_binarize_semantics():
+    import numpy as np
+
+    from intelligent_document_processing_on_aws_spark.kernels.image_ops import (
+        adaptive_binarize_array,
+        box_mean,
+    )
+
+    # uniform background: pixel == local mean -> pixel > mean - C -> all 255
+    flat = np.full((40, 40), 200, dtype=np.uint8)
+    assert (adaptive_binarize_array(flat) == 255).all()
+    # dark stroke on light background: stroke pixels fall below mean - C
+    img = np.full((41, 41), 220, dtype=np.uint8)
+    img[20, 5:36] = 10  # horizontal stroke
+    out = adaptive_binarize_array(img)
+    assert (out[20, 10:30] == 0).all()          # stroke binarized to black
+    assert (out[5, :] == 255).all()             # background stays white
+    # box_mean exactness on a constant image (incl. edges)
+    assert np.allclose(box_mean(flat.astype(float), 7), 200.0)
+
+
+def test_grayscale_luma_matches_pil_formula():
+    import numpy as np
+
+    from intelligent_document_processing_on_aws_spark.kernels.image_ops import (
+        to_grayscale,
+    )
+
+    rgb = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 255]]],
+                   dtype=np.uint8)
+    # PIL 'L': (R*299 + G*587 + B*114) // 1000
+    assert to_grayscale(rgb).tolist() == [[76, 149, 29, 255]]

@@ -235,3 +235,27 @@ def test_summary_operator_matches_golden(spark, fixtures_dir):
     got = {r.doc_id: r.summary_markdown for r in
            format_document_summaries(secs, content_col="content").collect()}
     assert got == golden
+
+
+def test_bbox_geometry_conversion(spark):
+    """granular_service.py:1238-1310 parity: 0-1000 scale -> 0-1, min/max
+    reorder, malformed bbox or missing page -> NULL geometry."""
+    from pyspark.sql import functions as F
+
+    from intelligent_document_processing_on_aws_spark.operators.assessment import (
+        bbox_geometry,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [700, 900, 100, 200], 3),     # unordered: x2,y2 first
+         (2, [100, 200, 700], 1),          # malformed: 3 coords
+         (3, [0, 0, 1000, 1000], None)],   # missing page
+        "id long, bbox array<int>, page int",
+    )
+    out = {r.id: r.g for r in df.select(
+        "id", bbox_geometry(F.col("bbox"), F.col("page")).alias("g")).collect()}
+    g = out[1]
+    assert g.page == 3
+    assert (g.boundingBox.left, g.boundingBox.top) == (0.1, 0.2)
+    assert (g.boundingBox.width, g.boundingBox.height) == (0.6, 0.7)
+    assert out[2] is None and out[3] is None
