@@ -160,7 +160,6 @@ def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
     objects: dict[int, bytes] = {}
     next_num = 4
     page_nums: list[int] = []
-    deferred_lengths: list[tuple[int, int]] = []  # (length_obj_num, value)
     for streams in page_streams:
         content_nums = []
         for raw in streams:
@@ -170,7 +169,6 @@ def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
             if rng.random() < 0.2:  # /Length as indirect ref (untrustable)
                 len_num = next_num + 1
                 head = f"<< /Length {len_num} 0 R{filt} >>".encode()
-                deferred_lengths.append((len_num, len(data)))
                 objects[next_num] = head + b"\nstream\n" + data + b"\nendstream"
                 content_nums.append(next_num)
                 objects[len_num] = str(len(data)).encode()

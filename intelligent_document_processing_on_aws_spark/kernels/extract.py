@@ -36,7 +36,7 @@ def extract_page(
 ) -> tuple[str, ExtractionResult]:
     """Returns (content_type, ExtractionResult). ``name_hint`` (url or
     filename) carries the extension signal the reference routes on."""
-    ctype = filetype.detect_content_type(content, name_hint)
+    ctype, text = filetype.detect_content_type_and_text(content, name_hint)
     if ctype == filetype.PDF:
         if content.startswith(b"%SPDF"):
             return ctype, extract_pdf(content)
@@ -48,7 +48,7 @@ def extract_page(
     if ctype == filetype.CSV:
         from .csv_convert import csv_to_markdown
 
-        md = csv_to_markdown(content.decode("utf-8"))
+        md = csv_to_markdown(text)
         spans = [Span(0, len(md), 0)] if md else []
         return ctype, ExtractionResult(md, spans, 1.0 if md else 0.0, 1 if md else 0)
     if ctype == filetype.DOCX:
@@ -62,7 +62,7 @@ def extract_page(
     if ctype == filetype.TEXT:
         # plain text: everything is main content, paginated per the
         # reference's text converter math then re-joined page-wise.
-        text = content.decode("utf-8")
+        # (text already decoded by the detector — no second decode)
         pages = text_to_pages(text)
         joined = "\n".join(pages)
         spans = []

@@ -4,11 +4,17 @@ Parity with the reference's `_detect_file_type`
 (lib/idp_common_pkg/idp_common/ocr/service.py:1632-1678): magic-byte check
 (%PDF, PK+xl/ for xlsx, PK+word/ for docx), then UTF-8 decode fallback to
 classify text/html. Extended with the synthetic %SPDF marker used by the
-span-based PDF fixtures, plus CSV routing: the reference keys CSV on the
-file extension (ocr/service.py:1632-1678 keys on `.csv`), so an optional
-``name_hint`` (url/filename) carries that signal here; a conservative
-content sniff (>= 2 rows x >= 2 columns with consistent field counts)
-covers hint-less payloads.
+span-based PDF fixtures, CSV routing (the reference keys CSV on the file
+extension, so an optional ``name_hint`` carries that signal; a
+conservative content sniff covers hint-less payloads), and image routing
+(jpg/png/gif/bmp/tiff/webp — reference :1657-1658).
+
+Ordering matters: the UTF-8 decode runs BEFORE the GIF/BMP/TIFF/RIFF
+magic checks because those magics are plain ASCII ("BM", "GIF89a") — a
+CSV whose first cell is "BMI" must not be routed to image. Real binary
+images effectively never decode as UTF-8 (NUL/high bytes follow within
+the header), so decodable content is classified on the text path, where
+an image extension hint can still claim it.
 """
 
 from __future__ import annotations
@@ -44,37 +50,49 @@ def looks_like_csv(text: str) -> bool:
     return width >= 2 and all(len(r) == width for r in rows)
 
 
-def detect_content_type(content: bytes, name_hint: str | None = None) -> str:
+def _is_image_magic(content: bytes) -> bool:
+    return (
+        content.startswith(b"\x89PNG\r\n\x1a\n")
+        or content.startswith(b"\xff\xd8")
+        or content[:6] in (b"GIF87a", b"GIF89a")
+        or content.startswith(b"BM")
+        or content[:4] in (b"II*\x00", b"MM\x00*")
+        or (content[:4] == b"RIFF" and content[8:12] == b"WEBP")
+    )
+
+
+def detect_content_type_and_text(
+    content: bytes, name_hint: str | None = None
+) -> tuple[str, str | None]:
+    """(content_type, decoded_text) — the decoded text is returned for the
+    text-family types so the extraction dispatch never decodes twice."""
     if content.startswith(b"%SPDF") or content.startswith(b"%PDF"):
-        return PDF
+        return PDF, None
     if content.startswith(b"PK"):
         head = content[:4096]
         if b"xl/" in head:
-            return XLSX
+            return XLSX, None
         if b"word/" in head:
-            return DOCX
-        return UNKNOWN
-    # image magic bytes (the reference routes jpg/jpeg/png/gif/bmp/tiff/webp
-    # by extension, ocr/service.py:1657-1658; magic is the stronger signal)
-    if (content.startswith(b"\x89PNG\r\n\x1a\n") or content.startswith(b"\xff\xd8")
-            or content[:6] in (b"GIF87a", b"GIF89a") or content.startswith(b"BM")
-            or content[:4] in (b"II*\x00", b"MM\x00*")
-            or (content[:4] == b"RIFF" and content[8:12] == b"WEBP")):
-        return IMAGE
+            return DOCX, None
+        return UNKNOWN, None
     try:
         text = content.decode("utf-8")
     except UnicodeDecodeError:
-        return UNKNOWN
+        return (IMAGE, None) if _is_image_magic(content) else (UNKNOWN, None)
     lowered = text[:2048].lower()
     if "<html" in lowered or "<!doctype html" in lowered or "<body" in lowered:
-        return HTML
+        return HTML, text
     hint = (name_hint or "").split("?")[0].lower()
     if hint.endswith(".csv"):
-        return CSV
+        return CSV, text
     if hint.endswith(".txt"):
-        return TEXT
+        return TEXT, text
     if hint.endswith(_IMAGE_EXTS):
-        return IMAGE  # extension says image but bytes decoded as utf-8
+        return IMAGE, None  # extension says image though bytes decode as text
     if looks_like_csv(text):
-        return CSV
-    return TEXT
+        return CSV, text
+    return TEXT, text
+
+
+def detect_content_type(content: bytes, name_hint: str | None = None) -> str:
+    return detect_content_type_and_text(content, name_hint)[0]

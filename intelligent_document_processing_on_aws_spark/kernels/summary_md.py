@@ -56,6 +56,13 @@ def remove_existing_title(content: str, section_name: str) -> str:
         done = False
         for level in range(1, 4):
             if content.lstrip().startswith(f"{'#' * level} {variation}"):
+                # FAITHFUL QUIRK: the reference matches against
+                # content.lstrip() but splits the ORIGINAL string at its
+                # first newline (formatter :176-184), so content with a
+                # LEADING newline only loses that blank line here and the
+                # title falls through to the generic-heading strip below.
+                # Kept byte-identical; pinned by
+                # test_remove_title_leading_newline_quirk.
                 parts = content.split("\n", 1)
                 content = parts[1].lstrip() if len(parts) > 1 else ""
                 done = True

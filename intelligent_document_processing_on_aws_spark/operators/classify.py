@@ -140,6 +140,9 @@ def majority_vote_class(classified: DataFrame, doc_col: str = "doc_id",
     )
 
 
+MAX_SEGMENT_PAGES = 10000
+
+
 def holistic_sections(pages: DataFrame, segments: DataFrame) -> DataFrame:
     """Holistic packet segmentation: segment RANGES -> sections.
 
@@ -165,13 +168,23 @@ def holistic_sections(pages: DataFrame, segments: DataFrame) -> DataFrame:
         F.col("type").isNotNull()
         & F.col("ordinal_start_page").isNotNull()
         & F.col("ordinal_end_page").isNotNull()
+        # inverted ranges are invalid (the reference's range(start, end+1)
+        # yields nothing; Spark's sequence() would count DOWN — guard it)
+        & (F.col("ordinal_start_page") <= F.col("ordinal_end_page"))
+    )
+    # bound the explode: a hostile/garbled segment claiming billions of
+    # pages must not materialize them; MAX_SEGMENT_PAGES caps the range
+    # (real pages beyond the doc are dropped by the join anyway)
+    end_capped = F.least(
+        F.col("ordinal_end_page"),
+        F.col("ordinal_start_page") + F.lit(MAX_SEGMENT_PAGES - 1),
     )
     exploded = valid.select(
         "doc_id",
         "seg_idx",
         F.col("type").alias("classification"),
         F.explode(
-            F.sequence(F.col("ordinal_start_page"), F.col("ordinal_end_page"))
+            F.sequence(F.col("ordinal_start_page"), end_capped)
         ).alias("page_num"),
     )
     joined = exploded.join(

@@ -237,6 +237,9 @@ def ivf_probes(queries: DataFrame, centroids: np.ndarray, n_probe: int) -> DataF
     so the query side never round-trips the driver and can itself be a
     billion-row table."""
     C = centroids
+    # a small corpus can yield fewer centroids than n_probe — clip, or the
+    # repeat() fan-out and the argsort width disagree and the batch fails
+    k = min(n_probe, C.shape[0])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -245,11 +248,11 @@ def ivf_probes(queries: DataFrame, centroids: np.ndarray, n_probe: int) -> DataF
                 continue
             M = np.stack(pdf["q_vec"].to_numpy()).astype(np.float64)
             M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-            order = np.argsort(-(M @ C.T), axis=1)[:, :n_probe]
+            order = np.argsort(-(M @ C.T), axis=1)[:, :k]
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"].to_numpy().repeat(n_probe),
-                    "q_vec": [v for v in pdf["q_vec"] for _ in range(n_probe)],
+                    "query_id": pdf["query_id"].to_numpy().repeat(k),
+                    "q_vec": [v for v in pdf["q_vec"] for _ in range(k)],
                     "centroid": order.reshape(-1).astype(np.int32),
                 }
             )

@@ -192,12 +192,16 @@ def main() -> int:
         struct_label = (f"local[{args.low}] pinned to cores 0-{args.low - 1}, "
                         f"cores {args.low}-{args.high - 1} spinner-loaded (N)")
         method = "CPU-pinned (taskset), structural"
-    else:
+    elif best.get("low_load_normalized"):
         low_struct = best["low_load_normalized"]
         eff_struct = best["efficiency_load_normalized"]
         struct_label = (f"local[{args.low}] + {args.high - args.low} "
                         f"busy cores (load-normalized N)")
         method = "load-normalized (legacy)"
+    else:
+        print("ERROR: no recorded run has a pinned or load-normalized arm "
+              "(raw-only history); run a probe first", file=sys.stderr)
+        return 1
     high = best["high"]
     low_raw = best.get("low_raw")
     eff_raw = best.get("efficiency_raw")

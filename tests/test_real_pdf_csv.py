@@ -269,11 +269,31 @@ def test_image_magic_and_extension_detection():
     png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
     assert filetype.detect_content_type(png) == "image"
     assert filetype.detect_content_type(b"\xff\xd8\xff\xe0rest") == "image"
-    assert filetype.detect_content_type(b"GIF89a" + struct.pack("<HH", 2, 2)) == "image"
-    assert filetype.detect_content_type(b"BM" + b"\x00" * 10) == "image"
-    assert filetype.detect_content_type(b"II*\x00tiff") == "image"
-    assert filetype.detect_content_type(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "image"
+    # ASCII magics (GIF/BM/TIFF/RIFF) only count for UNDECODABLE payloads —
+    # real image bodies carry high bytes; see
+    # test_ascii_image_magic_does_not_steal_text for the text-side rule
+    assert filetype.detect_content_type(
+        b"GIF89a" + struct.pack("<HH", 2, 2) + b"\x80\xff") == "image"
+    assert filetype.detect_content_type(b"BM" + b"\xff\xfe" * 5) == "image"
+    assert filetype.detect_content_type(b"II*\x00\xff\xfetiff") == "image"
+    assert filetype.detect_content_type(
+        b"RIFF\x00\x00\x00\x00WEBPVP8 \xff\xfe") == "image"
     # extension hint wins for decodable payloads
     assert filetype.detect_content_type(b"ascii bytes", "scan.tiff") == "image"
     ctype, res, err = extract_page_safe(png, "x.png")
     assert ctype == "image" and res.extracted_text == "" and err is None
+
+
+def test_ascii_image_magic_does_not_steal_text():
+    """'BM'/'GIF89a' are plain ASCII; text or CSV starting with them must
+    stay on the text path (image magic applies only to undecodable bytes)."""
+    csv_payload = b"BMI,weight,height\n23,70,1.8\n25,80,1.8\n"
+    assert filetype.detect_content_type(csv_payload, "stats.csv") == "csv"
+    assert filetype.detect_content_type(csv_payload) == "csv"  # sniff path
+    ctype, res = extract_page(csv_payload, "stats.csv")
+    assert ctype == "csv" and "| BMI | weight | height |" in res.extracted_text
+    assert filetype.detect_content_type(b"GIF89a is a file format spec") == "text"
+    assert filetype.detect_content_type(b"BMW makes cars and motorcycles") == "text"
+    # real binary payloads (never valid UTF-8 here) still route to image
+    assert filetype.detect_content_type(b"BM\x00\x00\xff\xfe\x80\x81") == "image"
+    assert filetype.detect_content_type(b"GIF89a\x10\x00\x10\x00\x80\xff\x00") == "image"

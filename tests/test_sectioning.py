@@ -210,3 +210,21 @@ def test_holistic_matches_fixture_golden_valid_segments(spark, fixtures_dir):
     want = {(r.doc_id, r.classification, json.dumps(json.loads(r.page_nums_json)))
             for r in golden.collect()}
     assert got == want
+
+
+def test_holistic_inverted_and_huge_ranges_guarded(spark):
+    """start > end is invalid (reference range() yields nothing — Spark
+    sequence() would count DOWN without the guard); absurd ranges are
+    capped instead of materializing billions of rows."""
+    from intelligent_document_processing_on_aws_spark.operators.classify import (
+        holistic_sections,
+    )
+
+    pages = _pages_df(spark, [(1, 1, "u", "p1"), (1, 2, "u", "p2")])
+    segs = _seg_df(spark, [
+        (1, 0, 2, 1, "invoice"),           # inverted -> dropped
+        (1, 1, 1, 2_000_000_000, "webpage"),  # huge -> capped, join trims
+    ])
+    out = {r.section_id: r for r in holistic_sections(pages, segs).collect()}
+    assert set(out) == {"2"}
+    assert list(out["2"].page_nums) == [1, 2]

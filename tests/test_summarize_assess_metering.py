@@ -259,3 +259,18 @@ def test_bbox_geometry_conversion(spark):
     assert (g.boundingBox.left, g.boundingBox.top) == (0.1, 0.2)
     assert (g.boundingBox.width, g.boundingBox.height) == (0.6, 0.7)
     assert out[2] is None and out[3] is None
+
+
+def test_remove_title_leading_newline_quirk():
+    """Faithful reference quirk (markdown_formatter.py:176-184): heading
+    match tests content.lstrip() but the split runs on the ORIGINAL
+    string, so a leading newline means only the blank line is consumed and
+    the duplicate title survives to the generic-heading pass."""
+    from intelligent_document_processing_on_aws_spark.kernels.summary_md import (
+        remove_existing_title,
+    )
+
+    out = remove_existing_title("\n## Invoice\n## Other\nbody", "invoice")
+    # first pass eats the blank line, generic pass eats '## Invoice',
+    # '## Other' survives — byte-identical to the reference's behavior
+    assert out == "## Other\nbody"
