@@ -293,20 +293,38 @@ def _pct(col):
     return F.concat(F.round(col * 100, 0).cast("int").cast("string"), F.lit("%"))
 
 
-def evaluation_report(counted: DataFrame) -> DataFrame:
+def evaluation_report(
+    counted: DataFrame, confidences: DataFrame | None = None
+) -> DataFrame:
     """Per-document evaluation markdown report: (doc_id, report_md).
 
     Deterministic analog of the reference's EvaluationResult.to_markdown
     (evaluation/models.py:117-330): document header, emoji-coded summary
     with a unicode progress bar, per-section headers with count rollups,
-    and one ✅/❌ row per attribute (expected/actual/score/method).
+    and one ✅/❌ row per attribute (expected/actual/confidence/score/
+    method — the confidence columns come from the UPSTREAM assessment's
+    explainability_info rows when a `confidences` DataFrame
+    (doc_id, section_id, attr_path, confidence, confidence_threshold) is
+    supplied, rendering 'N/A' like the reference when absent).
     Documented deviations: scores render as whole percents (see _pct);
-    no confidence columns (assessment is a separate operator here); no
-    execution-time footer (nondeterministic).
+    no execution-time footer (nondeterministic).
 
     Built entirely from JVM-side string expressions + two aggregations
     (section, then document) — no UDF, no window, no driver collect.
     """
+    if confidences is not None:
+        counted = counted.join(
+            confidences.select(
+                "doc_id", "section_id", "attr_path",
+                "confidence", "confidence_threshold",
+            ),
+            ["doc_id", "section_id", "attr_path"],
+            "left",
+        )
+    else:
+        counted = counted.withColumn(
+            "confidence", F.lit(None).cast("double")
+        ).withColumn("confidence_threshold", F.lit(None).cast("double"))
     matched = (F.col("tp") + F.col("tn")) == 1
     status = F.when(matched, F.lit("✅")).otherwise(F.lit("❌"))
     method_display = F.when(
@@ -318,11 +336,16 @@ def evaluation_report(counted: DataFrame) -> DataFrame:
     def cell(c):
         return F.coalesce(F.regexp_replace(c, "\n", " "), F.lit("None"))
 
+    def conf_cell(c):  # reference renders N/A for absent confidences
+        return F.coalesce(_pct(c), F.lit("N/A"))
+
     row_md = F.concat(
         F.lit("| "), status,
         F.lit(" | "), F.col("attr_path"),
         F.lit(" | "), cell(F.col("expected")),
         F.lit(" | "), cell(F.col("actual")),
+        F.lit(" | "), conf_cell(F.col("confidence")),
+        F.lit(" | "), conf_cell(F.col("confidence_threshold")),
         F.lit(" | "), _pct(F.col("score")),
         F.lit(" | "), method_display, F.lit(" |"),
     )
@@ -348,8 +371,10 @@ def evaluation_report(counted: DataFrame) -> DataFrame:
         F.lit(" tn="), F.col("tn").cast("string"),
         F.lit(" fp1="), F.col("fp1").cast("string"),
         F.lit(" fp2="), F.col("fp2").cast("string"), F.lit("\n\n"),
-        F.lit("| Status | Attribute | Expected | Actual | Score | Method |\n"),
-        F.lit("| :----: | --------- | -------- | ------ | ----- | ------ |\n"),
+        F.lit("| Status | Attribute | Expected | Actual | Confidence "
+              "| Confidence Threshold | Score | Method |\n"),
+        F.lit("| :----: | --------- | -------- | ------ | :--------: "
+              "| :------------------: | ----- | ------ |\n"),
         F.col("attr_rows"),
     )
     doc = sec.select("doc_id", F.col("section_id"), sec_md.alias("sec_md"),

@@ -111,9 +111,13 @@ def main() -> int:
         metrics_rollup(counted).withColumn("date", F.lit("2025-01-01")).write.mode(
             "overwrite"
         ).partitionBy("date").parquet(os.path.join(wh, "evaluation_metrics_overall"))
-        evaluation_report(counted).write.mode("overwrite").parquet(
-            os.path.join(wh, "evaluation_reports")
-        )
+        # the report's Confidence columns consume the UPSTREAM assessment
+        # (the reference reads explainability_info from the stored result)
+        evaluation_report(
+            counted,
+            assessed.select("doc_id", "section_id", "attr_path",
+                            "confidence", "confidence_threshold"),
+        ).write.mode("overwrite").parquet(os.path.join(wh, "evaluation_reports"))
         counts["eval_reports"] = spark.read.parquet(
             os.path.join(wh, "evaluation_reports")
         ).count()

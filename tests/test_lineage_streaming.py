@@ -194,3 +194,46 @@ def test_stateful_streaming_dedup(spark, tmp_path, fixtures_dir):
     final = spark.read.parquet(out)
     assert final.count() == 60  # 40 + 20 new, 20 dups suppressed by state
     assert final.select("content_hash").distinct().count() == 60
+
+
+def test_streaming_mixed_formats_matches_batch(spark, tmp_path, fixtures_dir):
+    """Real %PDF, CSV (extension-routed via url), HTML and office payloads
+    flow through the SAME streaming extraction unchanged — streamed output
+    equals the batch run row-for-row, all content types represented."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from intelligent_document_processing_on_aws_spark.operators.extraction import (
+        extract_pages,
+    )
+    from intelligent_document_processing_on_aws_spark.streaming.stream_extract import (
+        start_extract_stream,
+    )
+
+    html = spark.read.parquet(os.path.join(fixtures_dir, "t1_pages.parquet")).limit(20)
+    pdfs = spark.read.parquet(os.path.join(fixtures_dir, "realpdf_pages.parquet")).limit(20)
+    csvs = (
+        spark.read.parquet(os.path.join(fixtures_dir, "csv_docs.parquet")).limit(20)
+        .select(
+            F.concat(F.lit("https://x.example/"), F.col("doc_id").cast("string"),
+                     F.lit(".csv")).alias("url"),
+            F.lit("2025-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.col("payload").alias("html"),
+            F.lit("").alias("text"), F.lit("en").alias("lang"),
+        )
+    )
+    mixed = html.unionByName(pdfs).unionByName(csvs)
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    mixed.write.parquet(in_dir)
+
+    q = start_extract_stream(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out_dir)
+    batch = extract_pages(spark.read.parquet(in_dir))
+
+    s_rows = {(r.url, r.content_type, r.extracted_text) for r in streamed.collect()}
+    b_rows = {(r.url, r.content_type, r.extracted_text) for r in batch.collect()}
+    assert s_rows == b_rows
+    types = {r.content_type for r in streamed.collect()}
+    assert {"html", "pdf", "csv"} <= types
