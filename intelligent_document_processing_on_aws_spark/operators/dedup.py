@@ -231,3 +231,74 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     return cand.where(hamming <= max_hamming).select(
         "doc_id_a", "doc_id_b", hamming.alias("hamming")
     )
+
+
+def duplicate_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs -> connected components -> canonical doc.
+
+    The grouping step every web-scale dedup pipeline needs after candidate
+    generation (MinHash/SimHash/Jaccard pairs): transitive closure over the
+    pair graph, one group id (= min doc_id in the component) per document,
+    singletons included. Output: (doc_id, group_id, group_size,
+    is_duplicate) — is_duplicate marks every non-canonical member.
+
+    Shape: iterative min-label propagation — per round one shuffle join of
+    the symmetric edge list against current labels plus a groupBy-min;
+    converges in O(component diameter) rounds (dedup components are
+    near-cliques, so 2-4 rounds in practice; max_iter bounds adversarial
+    chains). Each round caches the label frame and checks a convergence
+    count — the classic large-scale connected-components shape
+    (Hash-to-Min), no driver-side graph.
+    """
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # localCheckpoint (eager) after every round: iterative self-joins grow
+    # the logical plan exponentially otherwise (each round re-derives all
+    # previous rounds) — truncating lineage keeps round cost constant
+    sym = sym.localCheckpoint()
+    labels = docs.select(F.col(id_col).alias("node"),
+                         F.col(id_col).alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["dst"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("group_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("group_id"),
+            F.col("group_size").cast("long").alias("group_size"),
+            (F.col("node") != F.col("label")).alias("is_duplicate"),
+        )
+    )

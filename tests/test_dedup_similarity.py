@@ -237,3 +237,41 @@ def test_ann_queries_dataframe_api(spark):
     ivf_ext = ivf_topk(df, queries=ext, k=3, n_centroids=4, n_probe=4)
     rows = ivf_ext.collect()
     assert rows and rows[0].neighbor_id == 7  # n_probe=all cells -> exact
+
+
+def test_duplicate_groups_connected_components(spark):
+    """Transitive closure: a-b and b-c pair -> one group {a,b,c} with
+    canonical=min id; singletons keep their own id, size 1."""
+    from intelligent_document_processing_on_aws_spark.operators.dedup import (
+        duplicate_groups,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # chain 1-3-5 (transitive), pair 2-6, singletons 0 and 4
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "doc_id_a long, doc_id_b long"
+    )
+    rows = {r.doc_id: r for r in duplicate_groups(docs, pairs).collect()}
+    assert len(rows) == 7
+    assert all(rows[d].group_id == 1 and rows[d].group_size == 3
+               for d in (1, 3, 5))
+    assert rows[5].is_duplicate and not rows[1].is_duplicate
+    assert rows[2].group_id == 2 and rows[6].group_id == 2
+    assert rows[0].group_id == 0 and rows[0].group_size == 1
+    assert not rows[0].is_duplicate and not rows[4].is_duplicate
+
+
+def test_duplicate_groups_long_chain_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds — min label
+    must still reach the far end (convergence loop, not single-hop)."""
+    from intelligent_document_processing_on_aws_spark.operators.dedup import (
+        duplicate_groups,
+    )
+
+    n = 12
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_id_a long, doc_id_b long"
+    )
+    rows = duplicate_groups(docs, pairs).collect()
+    assert all(r.group_id == 0 and r.group_size == n for r in rows)
