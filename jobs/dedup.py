@@ -1,12 +1,14 @@
-"""Corpus deduplication job.
+"""Corpus deduplication job: candidates -> groups -> canonical corpus.
+
+The training-data pipeline surface: exact-hash groups plus MinHash-LSH
+near-dup candidate pairs feed connected-components grouping
+(operators/dedup.duplicate_groups); the output warehouse holds the group
+table and the deduplicated corpus (canonical docs only).
 
 Usage:
-  python jobs/dedup.py --input <docs parquet with (doc_id, text)> \
-      --output /tmp/dedup_out [--method exact|minhash|jaccard|simhash] \
-      [--threshold 0.8]
-
-Writes the duplicate pairs (or per-doc canonical map for exact) and prints
-a one-line JSON summary.
+  python jobs/dedup.py --input /root/testdata/sf0.01/documents.parquet \
+      --output /tmp/idp_dedup [--threshold 0.8]
+Prints one JSON line {"docs", "groups", "duplicates", "kept", "sec"}.
 """
 
 from __future__ import annotations
@@ -19,40 +21,47 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from intelligent_document_processing_on_aws_spark.operators.dedup import (  # noqa: E402
-    exact_dedup,
+    duplicate_groups,
     minhash_lsh_pairs,
-    ngram_jaccard_pairs,
-    simhash_pairs,
 )
 from intelligent_document_processing_on_aws_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
     ap.add_argument("--output", required=True)
-    ap.add_argument("--method", default="minhash",
-                    choices=["exact", "minhash", "jaccard", "simhash"])
     ap.add_argument("--threshold", type=float, default=0.8)
-    ap.add_argument("--master", default=None)
+    ap.add_argument("--cores", type=int, default=8)
     args = ap.parse_args()
 
-    spark = get_spark("idp-dedup", master=args.master)
     t0 = time.time()
-    docs = spark.read.parquet(args.input)
-    if args.method == "exact":
-        result = exact_dedup(docs)
-    elif args.method == "minhash":
-        result = minhash_lsh_pairs(docs, threshold=args.threshold)
-    elif args.method == "jaccard":
-        result = ngram_jaccard_pairs(docs, threshold=args.threshold, max_df=1000)
-    else:
-        result = simhash_pairs(docs, max_hamming=3)
-    result.write.mode("overwrite").parquet(args.output)
-    n = spark.read.parquet(args.output).count()
-    print(json.dumps({"method": args.method, "rows": n,
-                      "sec": round(time.time() - t0, 2)}))
+    spark = get_spark("idp-dedup", master=f"local[{args.cores}]",
+                      shuffle_partitions=args.cores * 2)
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, threshold=args.threshold)
+    groups = duplicate_groups(docs, pairs)
+    groups.write.mode("overwrite").parquet(os.path.join(args.output, "groups"))
+
+    groups_r = spark.read.parquet(os.path.join(args.output, "groups"))
+    kept = docs.join(
+        groups_r.where(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+    )
+    kept.write.mode("overwrite").parquet(os.path.join(args.output, "deduped"))
+
+    n_docs = docs.count()
+    n_groups = groups_r.select("group_id").distinct().count()
+    n_dupes = groups_r.where(F.col("is_duplicate")).count()
+    print(json.dumps({
+        "docs": n_docs,
+        "groups": n_groups,
+        "duplicates": n_dupes,
+        "kept": spark.read.parquet(os.path.join(args.output, "deduped")).count(),
+        "sec": round(time.time() - t0, 2),
+    }))
     spark.stop()
     return 0
 
