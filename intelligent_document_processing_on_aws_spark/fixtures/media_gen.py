@@ -24,7 +24,10 @@ def png_bytes(width: int, height: int) -> bytes:
 
 
 def jpeg_bytes(width: int, height: int) -> bytes:
-    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 7
+    # APP0 length counts itself: 2 + 14 content bytes (JFIF\0, version,
+    # units, x/y density, thumbnail dims) = 16
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x02"
+            + b"\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00")
     dqt = b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"
     sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
             + struct.pack(">HH", height, width) + b"\x01\x11\x00\x00")
@@ -32,4 +35,5 @@ def jpeg_bytes(width: int, height: int) -> bytes:
 
 
 def gif_bytes(width: int, height: int) -> bytes:
-    return b"GIF89a" + struct.pack("<HH", width, height) + b"\xf0\x00\x00" + b"\x00\x3b"
+    # packed flags 0x70: no global color table (0xf0 would promise one)
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x70\x00\x00" + b"\x00\x3b"

@@ -44,7 +44,7 @@ def extract_page(
 
         return ctype, extract_real_pdf(content)
     if ctype in (filetype.HTML,):
-        return ctype, extract_html(content)
+        return ctype, extract_html(text)  # already decoded by the detector
     if ctype == filetype.CSV:
         from .csv_convert import csv_to_markdown
 

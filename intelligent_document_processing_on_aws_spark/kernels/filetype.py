@@ -50,15 +50,24 @@ def looks_like_csv(text: str) -> bool:
     return width >= 2 and all(len(r) == width for r in rows)
 
 
-def _is_image_magic(content: bytes) -> bool:
+def _is_unambiguous_image_magic(content: bytes) -> bool:
+    """Magics that cannot open meaningful text: PNG/JPEG start with
+    non-UTF8 bytes; TIFF and RIFF+WEBP signatures embed NUL / an exact
+    12-byte tag no prose starts with. Checked BEFORE the decode attempt
+    (a tiny all-low-byte image body can be valid UTF-8)."""
     return (
         content.startswith(b"\x89PNG\r\n\x1a\n")
         or content.startswith(b"\xff\xd8")
-        or content[:6] in (b"GIF87a", b"GIF89a")
-        or content.startswith(b"BM")
         or content[:4] in (b"II*\x00", b"MM\x00*")
         or (content[:4] == b"RIFF" and content[8:12] == b"WEBP")
     )
+
+
+def _is_ascii_image_magic(content: bytes) -> bool:
+    """'GIF87a'/'GIF89a'/'BM' are plain ASCII a text file can legally start
+    with ('BMI,...' CSV) — consulted only for payloads that did NOT decode
+    as UTF-8."""
+    return content[:6] in (b"GIF87a", b"GIF89a") or content.startswith(b"BM")
 
 
 def detect_content_type_and_text(
@@ -75,10 +84,12 @@ def detect_content_type_and_text(
         if b"word/" in head:
             return DOCX, None
         return UNKNOWN, None
+    if _is_unambiguous_image_magic(content):
+        return IMAGE, None
     try:
         text = content.decode("utf-8")
     except UnicodeDecodeError:
-        return (IMAGE, None) if _is_image_magic(content) else (UNKNOWN, None)
+        return (IMAGE, None) if _is_ascii_image_magic(content) else (UNKNOWN, None)
     lowered = text[:2048].lower()
     if "<html" in lowered or "<!doctype html" in lowered or "<body" in lowered:
         return HTML, text

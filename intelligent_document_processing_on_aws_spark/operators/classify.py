@@ -175,9 +175,12 @@ def holistic_sections(pages: DataFrame, segments: DataFrame) -> DataFrame:
     # bound the explode: a hostile/garbled segment claiming billions of
     # pages must not materialize them; MAX_SEGMENT_PAGES caps the range
     # (real pages beyond the doc are dropped by the join anyway)
-    end_capped = F.least(
-        F.col("ordinal_end_page"),
-        F.col("ordinal_start_page") + F.lit(MAX_SEGMENT_PAGES - 1),
+    end_capped = F.greatest(  # greatest() guards start+cap long overflow
+        F.least(
+            F.col("ordinal_end_page"),
+            F.col("ordinal_start_page") + F.lit(MAX_SEGMENT_PAGES - 1),
+        ),
+        F.col("ordinal_start_page"),
     )
     exploded = valid.select(
         "doc_id",

@@ -292,6 +292,12 @@ def duplicate_groups(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"duplicate_groups did not converge in max_iter={max_iter} "
+            "rounds (a component's diameter exceeds it); raise max_iter — "
+            "silent non-convergence would emit fragmented group ids"
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("group_size"))
     return (
         labels.join(sizes, "label")
