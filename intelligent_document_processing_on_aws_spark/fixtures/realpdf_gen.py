@@ -141,13 +141,47 @@ def _page_content_ops(rng: random.Random) -> tuple[list[str], list[str]]:
     return lines, blocks
 
 
+def _table_page_ops(rng: random.Random) -> tuple[list[str], list[str]]:
+    """A tabular page: a title line plus R rows x C columns of cells at
+    FIXED column x-positions — the layout signature
+    pdf_layout.lines_to_blocks must reconstruct as one pipe table. Golden
+    = [title, format_pipe_table(rows)] via the frozen formatting spec."""
+    from ..kernels.tables import format_pipe_table
+
+    n_cols = 3 + rng.randrange(3)
+    n_rows = 2 + rng.randrange(4)  # header + >=1 data row
+    col_x = [LEFT_X + 110.0 * c for c in range(n_cols)]
+    header = [f"Col{c + 1}" for c in range(n_cols)]
+    rows = [header]
+    for _ in range(n_rows):
+        rows.append([
+            str(rng.randrange(10000)) if rng.random() < 0.4
+            else " ".join(rng.choice(WORDS) for _ in range(1 + rng.randrange(2)))
+            for _ in range(n_cols)
+        ])
+    title = " ".join(rng.choice(WORDS) for _ in range(3 + rng.randrange(3)))
+    blocks = [_line_ops(title, LEFT_X, TOP_Y + LEADING, rng)]
+    for r, row in enumerate(rows):
+        y = TOP_Y - LEADING * r
+        for c, cell in enumerate(row):
+            blocks.append(
+                f"BT /F1 12 Tf {col_x[c]:.1f} {y:.1f} Td "
+                f"({_esc_literal(cell, rng)}) Tj ET"
+            )
+    rng.shuffle(blocks)  # y/x sort must restore both order and columns
+    return [title, format_pipe_table(rows)], blocks
+
+
 def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
     """Write a complete multi-page PDF; returns (bytes, golden lines)."""
     n_pages = 1 + rng.randrange(3)
     page_lines: list[list[str]] = []
     page_streams: list[list[bytes]] = []  # per page: 1..2 content parts
     for _ in range(n_pages):
-        lines, blocks = _page_content_ops(rng)
+        if rng.random() < 0.25:
+            lines, blocks = _table_page_ops(rng)
+        else:
+            lines, blocks = _page_content_ops(rng)
         page_lines.append(lines)
         if len(blocks) >= 2 and rng.random() < 0.3:  # /Contents array form
             cut = 1 + rng.randrange(len(blocks) - 1)

@@ -60,13 +60,72 @@ def reading_order_lines(spans: list[dict]) -> list[list[dict]]:
     return lines
 
 
+TABLE_X_TOL = 2.0
+TABLE_MIN_COLS = 3
+TABLE_MIN_ROWS = 2
+
+
+def _x_signature(line: list[dict]) -> tuple[float, ...] | None:
+    if len(line) < TABLE_MIN_COLS:
+        return None
+    return tuple(float(s["x"]) for s in line)
+
+
+def _sig_match(a: tuple[float, ...], b: tuple[float, ...]) -> bool:
+    return len(a) == len(b) and all(abs(x - y) <= TABLE_X_TOL for x, y in zip(a, b))
+
+
+def lines_to_blocks(lines: list[list[dict]]) -> list[tuple[str, list]]:
+    """Layout analysis: reading-order lines -> text/table blocks.
+
+    A run of >= TABLE_MIN_ROWS consecutive lines whose spans sit at the
+    same >= TABLE_MIN_COLS x-positions (column alignment within
+    TABLE_X_TOL) is a table — the role Textract TABLE blocks play in the
+    reference's to_markdown (ocr/service.py:1500-1630); everything else
+    stays a text line. Returns [("text", line) | ("table", [lines])].
+    Requiring 3+ aligned columns keeps prose with split runs (1-2 spans
+    per line) from ever being misread as tabular."""
+    blocks: list[tuple[str, list]] = []
+    i = 0
+    while i < len(lines):
+        sig = _x_signature(lines[i])
+        if sig is not None:
+            j = i + 1
+            while (j < len(lines)
+                   and (nxt := _x_signature(lines[j])) is not None
+                   and _sig_match(sig, nxt)):
+                j += 1
+            if j - i >= TABLE_MIN_ROWS:
+                blocks.append(("table", lines[i:j]))
+                i = j
+                continue
+        blocks.append(("text", lines[i]))
+        i += 1
+    return blocks
+
+
+def assemble_blocks(lines: list[list[dict]]) -> tuple[str, list[str]]:
+    """(extracted_text, parts): table runs render as pipe-markdown via the
+    frozen formatting spec; text lines join spans with WORD_JOIN."""
+    from .tables import format_pipe_table
+
+    parts: list[str] = []
+    for kind, payload in lines_to_blocks(lines):
+        if kind == "table":
+            parts.append(
+                format_pipe_table([[s["text"] for s in row] for row in payload])
+            )
+        else:
+            parts.append(WORD_JOIN.join(s["text"] for s in payload))
+    return LINE_JOIN.join(parts), parts
+
+
 def extract_pdf(content: bytes) -> ExtractionResult:
     spans = parse_spans(content)
     if not spans:
         return ExtractionResult("", [], 0.0, 0)
     lines = reading_order_lines(spans)
-    line_texts = [WORD_JOIN.join(s["text"] for s in line) for line in lines]
-    extracted = LINE_JOIN.join(line_texts)
+    extracted, line_texts = assemble_blocks(lines)
     out_spans: list[Span] = []
     off = 0
     for i, t in enumerate(line_texts):

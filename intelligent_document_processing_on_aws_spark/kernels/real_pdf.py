@@ -28,7 +28,7 @@ import re
 import zlib
 
 from .boilerplate import ExtractionResult, Span
-from .pdf_layout import LINE_JOIN, WORD_JOIN, reading_order_lines
+from .pdf_layout import LINE_JOIN, assemble_blocks, reading_order_lines
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
@@ -346,8 +346,9 @@ def extract_real_pdf(content: bytes) -> ExtractionResult:
     if not spans:
         return ExtractionResult("", [], 0.0, 0)
     lines = reading_order_lines(spans)
-    line_texts = [WORD_JOIN.join(s["text"] for s in line) for line in lines]
-    extracted = LINE_JOIN.join(line_texts)
+    # layout analysis: x-aligned multi-column runs become pipe tables
+    # (pdf_layout.lines_to_blocks), other lines join word-wise
+    extracted, line_texts = assemble_blocks(lines)
     out_spans: list[Span] = []
     off = 0
     for i, t in enumerate(line_texts):

@@ -297,3 +297,45 @@ def test_ascii_image_magic_does_not_steal_text():
     # real binary payloads (never valid UTF-8 here) still route to image
     assert filetype.detect_content_type(b"BM\x00\x00\xff\xfe\x80\x81") == "image"
     assert filetype.detect_content_type(b"GIF89a\x10\x00\x10\x00\x80\xff\x00") == "image"
+
+
+def test_pdf_table_layout_reconstruction():
+    """x-aligned multi-column runs become pipe tables; prose with split
+    runs (1-2 spans/line) never does (>=3 aligned columns required)."""
+    from intelligent_document_processing_on_aws_spark.kernels.pdf_layout import (
+        lines_to_blocks,
+    )
+
+    def line(y, cells):  # cells: [(x, text)]
+        return [{"page": 1, "x": x, "y": y, "text": t} for x, t in cells]
+
+    tbl = [
+        line(10, [(72, "H1"), (182, "H2"), (292, "H3")]),
+        line(28, [(72.5, "a"), (182.4, "b"), (292.1, "c")]),  # within tol
+        line(46, [(72, "d"), (182, "e"), (292, "f")]),
+    ]
+    prose = [line(64, [(72, "just a sentence")]),
+             line(82, [(72, "two"), (200, "spans")])]
+    blocks = lines_to_blocks(tbl + prose)
+    kinds = [k for k, _ in blocks]
+    assert kinds == ["table", "text", "text"]
+    assert len(blocks[0][1]) == 3  # all three aligned rows in one table
+    # a single aligned line (no run) stays text
+    one = lines_to_blocks([tbl[0]] + prose)
+    assert [k for k, _ in one] == ["text", "text", "text"]
+    # misaligned columns (beyond tolerance) break the run
+    shifted = [tbl[0], line(28, [(72, "a"), (190, "b"), (292, "c")])]
+    assert [k for k, _ in lines_to_blocks(shifted)] == ["text", "text"]
+
+
+def test_real_pdf_table_page_golden():
+    """End-to-end: a generated table page extracts as the frozen-spec pipe
+    table (golden composed from the template rows)."""
+    found = False
+    for i in range(40):
+        rec = gen_real_pdf(i)
+        if "| Col1 |" in rec["extracted_text"]:
+            found = True
+            ctype, res = extract_page(rec["html"], rec["url"])
+            assert res.extracted_text == rec["extracted_text"]
+    assert found  # corpus must contain table pages
