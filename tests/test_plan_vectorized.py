@@ -100,3 +100,41 @@ def test_filter_pushdown_to_scan(spark, fixtures_dir):
     df = pages.where(F.col("lang") == "en").select("url", "lang")
     formatted = _formatted(df)
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in formatted
+
+
+def test_round2_operator_plans_no_python(spark, fixtures_dir):
+    """Round-2 operators keep the zero-per-row-Python contract: the
+    evaluation report is pure Catalyst string expressions, holistic
+    sectioning is explode+join+agg, confidence flattening is Arrow-batched
+    MapInPandas — no BatchEvalPython anywhere."""
+    import os
+
+    from intelligent_document_processing_on_aws_spark.config import eval_config_rows
+    from intelligent_document_processing_on_aws_spark.operators.classify import (
+        holistic_sections,
+    )
+    from intelligent_document_processing_on_aws_spark.operators.evaluation import (
+        evaluate_attributes,
+        evaluation_report,
+        flatten_confidence_payloads,
+    )
+
+    pages = spark.read.parquet(os.path.join(fixtures_dir, "packet_pages.parquet"))
+    segs = spark.read.parquet(os.path.join(fixtures_dir, "packet_segments.parquet"))
+    plan = holistic_sections(pages, segs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan  # fully native
+
+    cfg = spark.createDataFrame(eval_config_rows())
+    counted = evaluate_attributes(
+        spark.read.parquet(os.path.join(fixtures_dir, "flat_expected.parquet")),
+        spark.read.parquet(os.path.join(fixtures_dir, "flat_actual.parquet")),
+        cfg,
+    )
+    plan = evaluation_report(counted)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    payloads = spark.read.parquet(
+        os.path.join(fixtures_dir, "extraction_payloads.parquet"))
+    plan = flatten_confidence_payloads(payloads)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
