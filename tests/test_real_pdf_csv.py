@@ -339,3 +339,54 @@ def test_real_pdf_table_page_golden():
             ctype, res = extract_page(rec["html"], rec["url"])
             assert res.extracted_text == rec["extracted_text"]
     assert found  # corpus must contain table pages
+
+
+# ---------------------------------------------------------------------------
+# property-based round-trips (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=255), max_size=60))
+def test_property_pdf_literal_string_roundtrip(text):
+    """escape -> tokenize recovers ANY latin-1 text (parens, backslashes,
+    octal-triggering chars included)."""
+    import random
+
+    from intelligent_document_processing_on_aws_spark.fixtures.realpdf_gen import (
+        _esc_literal,
+    )
+
+    esc = _esc_literal(text, random.Random(42))
+    ops = f"BT 72 700 Td ({esc}) Tj ET".encode("latin-1")
+    spans = text_spans(ops, 1)
+    got = spans[0]["text"] if spans else ""
+    assert got == text
+
+
+@given(st.lists(
+    st.lists(st.text(alphabet=st.characters(
+        min_codepoint=32, max_codepoint=126, exclude_characters="|"),
+        max_size=12), min_size=2, max_size=5),
+    min_size=2, max_size=6).filter(
+        lambda rows: len({len(r) for r in rows}) == 1))
+def test_property_csv_writer_reader_roundtrip(rows):
+    """csv.writer output always parses back through the dispatch into a
+    pipe table with one row per input row (quoting/escaping round-trips)."""
+    import csv
+    import io
+
+    buf = io.StringIO()
+    csv.writer(buf).writerows(rows)
+    payload = buf.getvalue().encode()
+    non_empty = [r for r in rows if any(c.strip() for c in r)]
+    if len(non_empty) < 1 or not any(c.strip() for c in rows[0]):
+        return  # header-less/empty corpora are out of contract
+    ctype, res = extract_page(payload, "fuzz.csv")
+    assert ctype == "csv"
+    # one markdown row per non-blank csv row, plus the separator line
+    md_rows = [ln for ln in res.extracted_text.split("\n") if ln.startswith("|")]
+    assert len(md_rows) == len([r for r in rows if r]) + 1
