@@ -135,6 +135,33 @@ def build_csv(out_dir: str = FIXTURES_DIR, n: int = N_CSV) -> None:
     print(f"wrote csv_docs/csv_golden: {n} rows")
 
 
+N_OCRBLOCKS = 250
+
+
+def build_ocrblocks(out_dir: str = FIXTURES_DIR, n: int = N_OCRBLOCKS) -> None:
+    from .ocrblocks_gen import gen_ocrblocks_docs
+
+    docs = gen_ocrblocks_docs(n)
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "blocks_json": [d["blocks_json"] for d in docs],
+        },
+        schema=pa.schema([("doc_id", pa.int64()), ("blocks_json", pa.string())]),
+    )
+    pq.write_table(table, os.path.join(out_dir, "ocrblocks_docs.parquet"),
+                   compression="zstd")
+    golden = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "page_md": [d["page_md"] for d in docs],
+        }
+    )
+    pq.write_table(golden, os.path.join(out_dir, "ocrblocks_golden.parquet"),
+                   compression="zstd")
+    print(f"wrote ocrblocks_docs/ocrblocks_golden: {n} rows")
+
+
 N_SUMMARY = 120
 
 
@@ -161,6 +188,7 @@ def build(out_dir: str = FIXTURES_DIR) -> None:
     build_realpdf(out_dir)
     build_csv(out_dir)
     build_summaries(out_dir)
+    build_ocrblocks(out_dir)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,172 @@
+"""Textract-style OCR block fixtures with construction-derived goldens.
+
+Each doc is a synthetic AnalyzeDocument-shaped block list (PAGE/LINE/WORD/
+TABLE/CELL with Ids, CHILD relationships, 1-based cell indices, bounding-box
+geometry) exercising the ``to_markdown`` analog in kernels/textract_blocks:
+prose lines, pipe-bearing cells, merged (spanned) cells, table-row LINEs
+that duplicate cell words (must be dropped), interleaved geometry (blocks
+emitted lines-first then tables; reading order must come from the boxes,
+not list order), table-only pages, and empty pages.
+
+The golden markdown is assembled by this generator's own walk of the
+template items in construction order — the kernel never runs here; the one
+shared piece is the frozen pipe-table formatting spec (kernels/tables.py),
+same as the csv/office families.
+
+Doc i is fully determined by random.Random(f"ocrblocks-{i}-42").
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+from ..kernels.tables import escape_pipes, format_pipe_table
+from .pages_gen import WORDS
+
+
+def _words(rng: random.Random, lo: int = 1, hi: int = 3) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(rng.randrange(lo, hi + 1)))
+
+
+class _Ids:
+    def __init__(self, doc_id: int) -> None:
+        self.doc_id = doc_id
+        self.n = 0
+
+    def next(self, kind: str) -> str:
+        self.n += 1
+        return f"{kind}-{self.doc_id}-{self.n}"
+
+
+def _bbox(top: float, left: float = 0.1) -> dict:
+    return {"BoundingBox": {"Top": round(top, 4), "Left": left,
+                            "Width": 0.8, "Height": 0.02}}
+
+
+def _word_blocks(ids: _Ids, text: str) -> tuple[list[dict], list[str]]:
+    blocks, wids = [], []
+    for w in text.split(" "):
+        wid = ids.next("w")
+        blocks.append({"BlockType": "WORD", "Id": wid, "Text": w})
+        wids.append(wid)
+    return blocks, wids
+
+
+def gen_ocrblocks_doc(i: int) -> dict:
+    rng = random.Random(f"ocrblocks-{i}-42")
+    ids = _Ids(i)
+    lines: list[dict] = []   # LINE + WORD blocks, emitted first
+    tables: list[dict] = []  # TABLE + CELL (+ their WORD) blocks, emitted last
+    golden_items: list[str] = []  # (kind, text) in construction order
+    golden_kinds: list[str] = []
+
+    top = 0.05
+    r = rng.random()
+    if r < 0.05:
+        n_items = 0                      # empty page
+    elif r < 0.12:
+        n_items = 1                      # single item (often table-only)
+    else:
+        n_items = 3 + rng.randrange(6)
+
+    force_table = r < 0.12 and rng.random() < 0.7
+    for k in range(n_items):
+        is_table = force_table if n_items == 1 else rng.random() < 0.3
+        if not is_table:
+            text = _words(rng, 3, 8)
+            wblocks, wids = _word_blocks(ids, text)
+            lines.extend(wblocks)
+            lines.append({
+                "BlockType": "LINE", "Id": ids.next("l"), "Text": text,
+                "Geometry": _bbox(top),
+                "Relationships": [{"Type": "CHILD", "Ids": wids}],
+            })
+            golden_items.append(text)
+            golden_kinds.append("line")
+            top += 0.03
+            continue
+
+        # -- a table: grid of cells, optional merge, duplicate row-LINEs
+        n_rows = 2 + rng.randrange(4)
+        n_cols = 2 + rng.randrange(3)
+        merge = None
+        if rng.random() < 0.3 and n_rows >= 3:
+            merge = (1 + rng.randrange(n_rows - 1), 1 + rng.randrange(n_cols),
+                     "row")  # (anchor_row, anchor_col, axis); spans 2 rows
+        elif rng.random() < 0.3 and n_cols >= 3:
+            merge = (1 + rng.randrange(n_rows), 1 + rng.randrange(n_cols - 1),
+                     "col")
+        cell_blocks: list[dict] = []
+        cell_ids: list[str] = []
+        grid: list[list[str]] = [["" for _ in range(n_cols)] for _ in range(n_rows)]
+        table_top = top
+        for rr in range(1, n_rows + 1):
+            row_wids: list[str] = []
+            row_texts: list[str] = []
+            for cc in range(1, n_cols + 1):
+                if merge and merge[2] == "row" and (rr, cc) == (merge[0] + 1, merge[1]):
+                    continue  # covered by the row-span anchor above
+                if merge and merge[2] == "col" and (rr, cc) == (merge[0], merge[1] + 1):
+                    continue  # covered by the col-span anchor to the left
+                if rng.random() < 0.08:
+                    text = ""  # empty cell
+                elif rng.random() < 0.12:
+                    text = f"{_words(rng)} | {_words(rng)}"  # pipe in cell
+                else:
+                    text = _words(rng)
+                cell: dict = {"BlockType": "CELL", "Id": ids.next("c"),
+                              "RowIndex": rr, "ColumnIndex": cc}
+                if merge and (rr, cc) == (merge[0], merge[1]):
+                    if merge[2] == "row":
+                        cell["RowSpan"] = 2
+                    else:
+                        cell["ColumnSpan"] = 2
+                if text:
+                    wblocks, wids = _word_blocks(ids, text)
+                    cell_blocks.extend(wblocks)
+                    cell["Relationships"] = [{"Type": "CHILD", "Ids": wids}]
+                    row_wids.extend(wids)
+                    row_texts.append(text)
+                cell_blocks.append(cell)
+                cell_ids.append(cell["Id"])
+                grid[rr - 1][cc - 1] = escape_pipes(text)
+            # Textract also emits a LINE per table row over the same words;
+            # the kernel must drop it (all words claimed by cells).
+            if row_wids:
+                lines.append({
+                    "BlockType": "LINE", "Id": ids.next("l"),
+                    "Text": " ".join(row_texts), "Geometry": _bbox(top),
+                    "Relationships": [{"Type": "CHILD", "Ids": row_wids}],
+                })
+            top += 0.025
+        tables.append({
+            "BlockType": "TABLE", "Id": ids.next("t"),
+            "Geometry": _bbox(table_top),
+            "Relationships": [{"Type": "CHILD", "Ids": cell_ids}],
+        })
+        tables.extend(cell_blocks)
+        golden_items.append(format_pipe_table(grid))
+        golden_kinds.append("table")
+        top += 0.01
+
+    # golden assembly mirrors the kernel's documented contract: blank line
+    # between items whenever a table is on either side
+    out: list[str] = []
+    for j, (kind, text) in enumerate(zip(golden_kinds, golden_items)):
+        if j > 0 and (kind == "table" or golden_kinds[j - 1] == "table"):
+            out.append("")
+        out.append(text)
+    golden_md = "\n".join(out)
+
+    page = {"BlockType": "PAGE", "Id": ids.next("p"),
+            "Relationships": [{"Type": "CHILD",
+                               "Ids": [b["Id"] for b in lines
+                                       if b["BlockType"] == "LINE"]}]}
+    blocks = [page] + lines + tables  # lines-first: order must not matter
+    return {"doc_id": i, "blocks_json": json.dumps(blocks, sort_keys=True),
+            "page_md": golden_md}
+
+
+def gen_ocrblocks_docs(n: int) -> list[dict]:
+    return [gen_ocrblocks_doc(i) for i in range(n)]

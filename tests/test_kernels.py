@@ -187,3 +187,111 @@ def test_corrupt_office_payload_contained():
         assert ctype in ("error", "unknown")
         if ctype == "error":
             assert "BadZipFile" in err
+
+
+# ---------------------------------------------------------------------------
+# Textract-style blocks -> markdown (textractor to_markdown analog)
+# ---------------------------------------------------------------------------
+
+def _mk_line(lid, text, top, wid_prefix):
+    words = text.split(" ")
+    wblocks = [{"BlockType": "WORD", "Id": f"{wid_prefix}{i}", "Text": w}
+               for i, w in enumerate(words)]
+    line = {"BlockType": "LINE", "Id": lid, "Text": text,
+            "Geometry": {"BoundingBox": {"Top": top, "Left": 0.1}},
+            "Relationships": [{"Type": "CHILD",
+                               "Ids": [b["Id"] for b in wblocks]}]}
+    return [line] + wblocks
+
+
+def test_textract_table_grid_and_spans():
+    from intelligent_document_processing_on_aws_spark.kernels.textract_blocks import (
+        table_to_markdown,
+    )
+
+    blocks = [
+        {"BlockType": "WORD", "Id": "w1", "Text": "Name"},
+        {"BlockType": "WORD", "Id": "w2", "Text": "Qty"},
+        {"BlockType": "WORD", "Id": "w3", "Text": "wide"},
+        {"BlockType": "WORD", "Id": "w4", "Text": "a|b"},
+        {"BlockType": "CELL", "Id": "c1", "RowIndex": 1, "ColumnIndex": 1,
+         "Relationships": [{"Type": "CHILD", "Ids": ["w1"]}]},
+        {"BlockType": "CELL", "Id": "c2", "RowIndex": 1, "ColumnIndex": 2,
+         "Relationships": [{"Type": "CHILD", "Ids": ["w2"]}]},
+        # row 2: col-span 2 anchor; no cell at (2,2)
+        {"BlockType": "CELL", "Id": "c3", "RowIndex": 2, "ColumnIndex": 1,
+         "ColumnSpan": 2, "Relationships": [{"Type": "CHILD", "Ids": ["w3"]}]},
+        # row 3: pipe-bearing cell + empty cell (no children)
+        {"BlockType": "CELL", "Id": "c4", "RowIndex": 3, "ColumnIndex": 1,
+         "Relationships": [{"Type": "CHILD", "Ids": ["w4"]}]},
+        {"BlockType": "CELL", "Id": "c5", "RowIndex": 3, "ColumnIndex": 2},
+    ]
+    table = {"BlockType": "TABLE", "Id": "t1",
+             "Relationships": [{"Type": "CHILD",
+                                "Ids": ["c1", "c2", "c3", "c4", "c5"]}]}
+    by_id = {b["Id"]: b for b in blocks}
+    md = table_to_markdown(table, by_id).split("\n")
+    assert md[0] == "| Name | Qty |"
+    assert md[1] == "| ---- | --- |"   # max(3, width) dashes
+    assert md[2] == "| wide |  |"      # span anchor text, covered cell empty
+    assert md[3] == "| a\\|b |  |"     # pipe escaped, empty cell
+    assert len(md) == 4
+
+
+def test_textract_blocks_reading_order_and_line_dedup():
+    from intelligent_document_processing_on_aws_spark.kernels.textract_blocks import (
+        blocks_plain_text,
+        blocks_to_markdown,
+    )
+
+    blocks = []
+    blocks += _mk_line("l1", "intro prose", 0.05, "pw")
+    # table words + cells; a duplicate row-LINE over the same words
+    blocks += [
+        {"BlockType": "WORD", "Id": "tw1", "Text": "k"},
+        {"BlockType": "WORD", "Id": "tw2", "Text": "v"},
+        {"BlockType": "CELL", "Id": "c1", "RowIndex": 1, "ColumnIndex": 1,
+         "Relationships": [{"Type": "CHILD", "Ids": ["tw1"]}]},
+        {"BlockType": "CELL", "Id": "c2", "RowIndex": 1, "ColumnIndex": 2,
+         "Relationships": [{"Type": "CHILD", "Ids": ["tw2"]}]},
+        {"BlockType": "LINE", "Id": "l2", "Text": "k v",
+         "Geometry": {"BoundingBox": {"Top": 0.10, "Left": 0.1}},
+         "Relationships": [{"Type": "CHILD", "Ids": ["tw1", "tw2"]}]},
+    ]
+    blocks += _mk_line("l3", "closing prose", 0.20, "cw")
+    # table emitted LAST in list order but positioned between the lines
+    blocks.append({"BlockType": "TABLE", "Id": "t1",
+                   "Geometry": {"BoundingBox": {"Top": 0.10, "Left": 0.1}},
+                   "Relationships": [{"Type": "CHILD", "Ids": ["c1", "c2"]}]})
+    md = blocks_to_markdown(blocks)
+    assert md == "intro prose\n\n| k | v |\n\nclosing prose"
+    # plain-text fallback keeps every LINE including the table row
+    assert blocks_plain_text(blocks) == "intro prose\nk v\nclosing prose"
+
+
+def test_textract_blocks_empty_and_tableless():
+    from intelligent_document_processing_on_aws_spark.kernels.textract_blocks import (
+        blocks_to_markdown,
+    )
+
+    assert blocks_to_markdown([]) == ""
+    assert blocks_to_markdown([{"BlockType": "PAGE", "Id": "p1"}]) == ""
+    only_lines = _mk_line("l1", "a b", 0.3, "x") + _mk_line("l2", "c d", 0.1, "y")
+    # sorted by top: l2 first
+    assert blocks_to_markdown(only_lines) == "c d\na b"
+
+
+def test_textract_fixture_family_differential():
+    """Generator goldens are construction-derived; the kernel must agree on
+    every committed doc (same gate the driver applies via the oracle)."""
+    import json
+
+    from intelligent_document_processing_on_aws_spark.fixtures.ocrblocks_gen import (
+        gen_ocrblocks_docs,
+    )
+    from intelligent_document_processing_on_aws_spark.kernels.textract_blocks import (
+        blocks_to_markdown,
+    )
+
+    for d in gen_ocrblocks_docs(60):
+        assert blocks_to_markdown(json.loads(d["blocks_json"])) == d["page_md"]
