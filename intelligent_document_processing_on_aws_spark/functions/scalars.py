@@ -50,3 +50,45 @@ def parse_uri(col: Column) -> Column:
 
 def pipe_escape(col: Column) -> Column:
     return F.regexp_replace(col, r"\|", r"\\|")
+
+
+def feature_combination_suffix(features: Column) -> Column:
+    """Textract feature set -> metering-key pricing suffix
+    (ocr/service.py:500-536 ``_get_feature_combination_string``):
+    Tables+Forms bills as the combined rate; Layout is only charged when
+    used without Tables/Forms; Signatures is free unless used alone.
+    ``features`` is an array<string> column; empty/null arrays -> ''.
+
+    Native array_contains chain — codegen-able, usable directly in the
+    metering key concat (service_api || suffix)."""
+    has = lambda f: F.array_contains(features, f)  # noqa: E731
+    return (
+        F.when(features.isNull() | (F.size(features) == 0), F.lit(""))
+        .when(has("TABLES") & has("FORMS"), F.lit("-Tables+Forms"))
+        .when(has("TABLES"), F.lit("-Tables"))
+        .when(has("FORMS"), F.lit("-Forms"))
+        .when(has("LAYOUT"), F.lit("-Layout"))
+        .when(has("SIGNATURES"), F.lit("-Signatures"))
+        .otherwise(F.lit(""))
+    )
+
+
+def token_limit_warning_col(
+    text: Column, results: Column, configured_max_tokens: int | None
+) -> Column:
+    """Catalyst twin of kernels/textnorm.token_limit_warning (reference
+    utils check_token_limit): chars/4 token estimate vs the configured
+    budget -> warning string or NULL. Native length arithmetic."""
+    if not configured_max_tokens:
+        return F.lit(None).cast("string")
+    est = (
+        F.length(F.coalesce(text, F.lit("")))
+        + F.length(F.coalesce(results, F.lit("")))
+    ) / F.lit(4.0)
+    return F.when(
+        F.lit(int(configured_max_tokens)) < est,
+        F.lit(
+            f"The max_tokens value of {configured_max_tokens} is too low "
+            f"for this document."
+        ),
+    )

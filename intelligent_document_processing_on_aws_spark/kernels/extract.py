@@ -45,6 +45,23 @@ def extract_page(
         return ctype, extract_real_pdf(content)
     if ctype in (filetype.HTML,):
         return ctype, extract_html(text)  # already decoded by the detector
+    if ctype == filetype.OCR_JSON:
+        # Textract response JSON -> markdown, with the reference's fallback
+        # ladder (ocr/service.py:1580-1625): markdown conversion first,
+        # plain LINE text if that fails
+        import json as _json
+
+        from .textract_blocks import blocks_plain_text, blocks_to_markdown
+
+        payload = _json.loads(text)
+        blocks = payload.get("Blocks", []) if isinstance(payload, dict) else payload
+        try:
+            md = blocks_to_markdown(blocks)
+        except Exception:  # noqa: BLE001 — reference falls back, never dies
+            md = blocks_plain_text(blocks)
+        n_pages = sum(1 for b in blocks if b.get("BlockType") == "PAGE") or (1 if md else 0)
+        spans = [Span(0, len(md), 0)] if md else []
+        return ctype, ExtractionResult(md, spans, 1.0 if md else 0.0, n_pages)
     if ctype == filetype.CSV:
         from .csv_convert import csv_to_markdown
 

@@ -26,6 +26,7 @@ PDF = "pdf"
 HTML = "html"
 TEXT = "text"
 CSV = "csv"
+OCR_JSON = "ocr_json"
 XLSX = "xlsx"
 DOCX = "docx"
 IMAGE = "image"
@@ -93,6 +94,10 @@ def detect_content_type_and_text(
     lowered = text[:2048].lower()
     if "<html" in lowered or "<!doctype html" in lowered or "<body" in lowered:
         return HTML, text
+    if text.lstrip()[:1] in ("[", "{") and '"blocktype"' in lowered:
+        # Textract AnalyzeDocument response JSON (a Blocks envelope or a
+        # bare block list) — routed to the block-tree markdown kernel
+        return OCR_JSON, text
     hint = (name_hint or "").split("?")[0].lower()
     if hint.endswith(".csv"):
         return CSV, text

@@ -202,3 +202,38 @@ def normalize_attr_pattern(path: str) -> str:
     """`Transactions[3].Amount` -> `Transactions[].Amount` for config lookup
     (evaluation/service.py:546-659 list-pattern matching analog)."""
     return _INDEX_RE.sub("[]", path)
+
+
+def feature_combination_suffix(features: list[str] | None) -> str:
+    """Pure twin of functions/scalars.feature_combination_suffix
+    (reference ocr/service.py:500-536): Textract feature set -> the
+    pricing suffix appended to the metering service_api key."""
+    f = set(features or ())
+    if "TABLES" in f and "FORMS" in f:
+        return "-Tables+Forms"
+    if "TABLES" in f:
+        return "-Tables"
+    if "FORMS" in f:
+        return "-Forms"
+    if "LAYOUT" in f:
+        return "-Layout"
+    if "SIGNATURES" in f:
+        return "-Signatures"
+    return ""
+
+
+def token_limit_warning(
+    document_text: str, extraction_results_str: str, configured_max_tokens: int | None
+) -> str | None:
+    """Reference utils/__init__.py:623-652 ``check_token_limit``: tokens are
+    estimated as total chars / 4; returns the warning string when the
+    configured budget is below the estimate, else None."""
+    if not configured_max_tokens:
+        return None
+    estimated = (len(document_text) + len(extraction_results_str)) / 4
+    if int(configured_max_tokens) < estimated:
+        return (
+            f"The max_tokens value of {configured_max_tokens} is too low "
+            f"for this document."
+        )
+    return None

@@ -111,6 +111,47 @@ def run_with_resume(
     return {"processed": n_todo, "skipped": n_total - n_todo}
 
 
+def run_with_resume_snapshots(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_table: str,
+    lineage_table: str,
+    salt_partitions: int = 32,
+) -> dict:
+    """Snapshot-committed variant of :func:`run_with_resume` — the full
+    north-star contract: output and per-partition lineage land as atomic
+    snapshot commits (sources/snapshots.py), so a run killed mid-write
+    leaves only invisible staging and the next invocation resumes from the
+    last COMMITTED snapshot, never re-reading partial files and never
+    duplicating a url.
+
+    Returns {"processed": n, "skipped": n, "snapshot_id": id | None}.
+    """
+    from ..sources.snapshots import commit_snapshot, read_table
+
+    done = read_table(spark, output_table)
+    todo = pages
+    n_total = pages.count()
+    if done is not None:
+        todo = pages.join(done.select("url"), "url", "left_anti")
+    n_todo = todo.count()
+    if n_todo == 0:
+        return {"processed": 0, "skipped": n_total, "snapshot_id": None}
+    result = extract_pages(todo, salt_partitions=salt_partitions)
+    result.persist()
+    try:
+        snap_id = commit_snapshot(result, output_table, "append")
+        commit_snapshot(
+            partition_counters(result).withColumn("run_rows", F.lit(n_todo)),
+            lineage_table,
+            "append",
+        )
+    finally:
+        result.unpersist()
+    return {"processed": n_todo, "skipped": n_total - n_todo,
+            "snapshot_id": snap_id}
+
+
 def assert_no_duplicates(spark: SparkSession, output_path: str) -> int:
     out = spark.read.parquet(output_path)
     n = out.count()

@@ -1,0 +1,160 @@
+"""Snapshot-committed tables: Iceberg-semantics stand-in over parquet dirs.
+
+The reference writes its reporting layer to Iceberg tables, whose core
+guarantees are (public Iceberg spec / HadoopTables layout): atomic snapshot
+commits via a version pointer, readers always seeing the last committed
+snapshot, time travel by snapshot id, and append/overwrite operations
+recorded in manifests. No Iceberg jar ships in this sandbox, so
+sources/catalog.py documents plain parquet as the stand-in; this module
+closes the semantic gap with a from-scratch mini commit protocol:
+
+    table_dir/
+      snap-00000001/data/*.parquet      immutable data written per commit
+      snap-00000001/manifest.json       snapshot metadata + readable file set
+      version-hint.text                 pointer to the committed snapshot id
+
+- ``commit_snapshot`` stages data + manifest first and flips the pointer
+  LAST with an atomic ``os.replace`` — a crashed writer leaves a dangling
+  snap dir that no reader ever sees (snapshot isolation).
+- ``append`` manifests carry the parent's file set plus the new files;
+  ``overwrite`` starts a fresh set — so every manifest is self-contained
+  and a read needs exactly one manifest (like Iceberg's manifest lists).
+- ``read_table(snapshot_id=...)`` is time travel; ``rollback_to`` re-points
+  without deleting newer snapshots (Iceberg ``rollback_to_snapshot``).
+- ``snapshot_history`` is the ``table.snapshots()`` metadata-table analog.
+
+On a real deployment the same call sites swap to ``df.writeTo(tbl)`` with an
+Iceberg catalog; this keeps kill/resume tests honest locally. File listings
+live in the manifest (never re-globbed), so reads stay O(1) metadata ops
+even as the table accretes snapshots — the property that makes the layout
+viable for the 100-TB metrics/lineage tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+VERSION_HINT = "version-hint.text"
+
+
+def _snap_dir(table_dir: str, snapshot_id: int) -> str:
+    return os.path.join(table_dir, f"snap-{snapshot_id:08d}")
+
+
+def current_snapshot_id(table_dir: str) -> int | None:
+    """The committed snapshot id, or None for an empty/uncreated table.
+    Dangling snap dirs without a pointer flip are invisible by design."""
+    hint = os.path.join(table_dir, VERSION_HINT)
+    try:
+        with open(hint, encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _read_manifest(table_dir: str, snapshot_id: int) -> dict:
+    with open(os.path.join(_snap_dir(table_dir, snapshot_id), "manifest.json"),
+              encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def commit_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    operation: str = "append",
+) -> int:
+    """Write ``df`` as a new committed snapshot; returns the snapshot id.
+
+    operation: 'append' (new snapshot reads parent files + these) or
+    'overwrite' (new snapshot reads only these). The pointer flip is the
+    single atomic step; everything before it is invisible staging.
+    """
+    if operation not in ("append", "overwrite"):
+        raise ValueError(f"unknown operation: {operation}")
+    os.makedirs(table_dir, exist_ok=True)
+    parent = current_snapshot_id(table_dir)
+    # ids must outrun every existing snap dir (committed, dangling, or
+    # rolled-back-past), so a commit after rollback_to never clobbers the
+    # newer snapshots it re-pointed away from
+    existing = [
+        int(d.split("-", 1)[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("snap-") and d.split("-", 1)[1].isdigit()
+    ]
+    snap_id = max(existing, default=0) + 1
+    snap = _snap_dir(table_dir, snap_id)
+    data_dir = os.path.join(snap, "data")
+    df.write.mode("overwrite").parquet(data_dir)
+
+    new_files = sorted(
+        os.path.join(f"snap-{snap_id:08d}", "data", f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    files = list(new_files)
+    if operation == "append" and parent is not None:
+        files = _read_manifest(table_dir, parent)["files"] + files
+    manifest = {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "operation": operation,
+        "committed_at_ms": int(time.time() * 1000),
+        "added_files": len(new_files),
+        "files": files,
+    }
+    with open(os.path.join(snap, "manifest.json"), "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+
+    # atomic pointer flip — the commit point
+    tmp = os.path.join(table_dir, VERSION_HINT + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(snap_id))
+    os.replace(tmp, os.path.join(table_dir, VERSION_HINT))
+    return snap_id
+
+
+def read_table(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+) -> DataFrame | None:
+    """Read the committed snapshot (or time-travel to ``snapshot_id``).
+    Returns None for an empty table. Only manifest-listed files are read —
+    a concurrent in-flight commit can never leak rows into this scan."""
+    snap = snapshot_id if snapshot_id is not None else current_snapshot_id(table_dir)
+    if snap is None:
+        return None
+    manifest = _read_manifest(table_dir, snap)
+    paths = [os.path.join(table_dir, f) for f in manifest["files"]]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def snapshot_history(table_dir: str) -> list[dict]:
+    """All COMMITTED snapshots oldest-first (``table.snapshots()`` analog):
+    walk parent pointers from the current hint; dangling snaps excluded."""
+    out: list[dict] = []
+    snap = current_snapshot_id(table_dir)
+    while snap is not None:
+        m = _read_manifest(table_dir, snap)
+        out.append({k: m[k] for k in
+                    ("snapshot_id", "parent_id", "operation",
+                     "committed_at_ms", "added_files")})
+        snap = m["parent_id"]
+    return list(reversed(out))
+
+
+def rollback_to(table_dir: str, snapshot_id: int) -> None:
+    """Re-point the table at an earlier snapshot (rollback_to_snapshot
+    analog). Newer snapshots stay on disk and remain time-travel-readable."""
+    if not os.path.isdir(_snap_dir(table_dir, snapshot_id)):
+        raise ValueError(f"snapshot {snapshot_id} does not exist")
+    tmp = os.path.join(table_dir, VERSION_HINT + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(snapshot_id))
+    os.replace(tmp, os.path.join(table_dir, VERSION_HINT))

@@ -1,0 +1,102 @@
+"""Training-corpus curation job: stats -> filter -> dedup -> curated corpus.
+
+The end-to-end LLM-data-pipeline surface composed from the engine's
+operators, in the order a production curation run applies them (cheap
+columnar filters first so the expensive near-dup stage sees the smallest
+candidate set):
+
+  1. text analysis (operators/textstats.document_stats): language ID,
+     quality score, token counts — pure native columns;
+  2. quality gate: keep lang in --langs with quality >= --min-quality and
+     token_count in [--min-tokens, --max-tokens];
+  3. exact dedup (hash groupBy) keeps one doc per identical text;
+  4. near-dup MinHash-LSH pairs -> connected components -> canonical only.
+
+All stages are shuffle-lean: stats are map-only; the quality gate pushes
+into the scan; exact dedup is one hash aggregation; LSH is banded
+bucket-joins (never all-pairs). Output warehouse: stats/, curated/, and a
+funnel line per stage.
+
+Usage:
+  python jobs/curate.py --input /root/testdata/sf0.01/documents.parquet \
+      --output /tmp/idp_curated [--min-quality 0.3] [--langs en]
+Prints one JSON line {"docs", "after_quality", "after_exact", "kept",
+"sec", ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from intelligent_document_processing_on_aws_spark.operators import textstats as ts  # noqa: E402
+from intelligent_document_processing_on_aws_spark.operators.dedup import (  # noqa: E402
+    duplicate_groups,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from intelligent_document_processing_on_aws_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--langs", default="en", help="comma-separated language allowlist")
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--min-tokens", type=int, default=10)
+    ap.add_argument("--max-tokens", type=int, default=100_000)
+    ap.add_argument("--near-dup-threshold", type=float, default=0.8)
+    ap.add_argument("--cores", type=int, default=8)
+    args = ap.parse_args()
+
+    t0 = time.time()
+    spark = get_spark("idp-curate", master=f"local[{args.cores}]",
+                      shuffle_partitions=args.cores * 2)
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    n_docs = docs.count()
+
+    stats = ts.document_stats(docs)
+    stats.write.mode("overwrite").parquet(os.path.join(args.output, "stats"))
+
+    langs = [s.strip() for s in args.langs.split(",") if s.strip()]
+    gated = docs.where(
+        ts.detect_lang(F.col("text")).isin(langs)
+        & (ts.quality_score(F.col("text")) >= args.min_quality)
+        & ts.token_count(F.col("text")).between(args.min_tokens, args.max_tokens)
+    )
+    n_quality = gated.count()
+
+    exact = exact_dedup(gated)  # (doc_id, content_hash, ..., is_duplicate)
+    exact_keep = exact.where(~F.col("is_duplicate")).select("doc_id")
+    n_exact = exact_keep.count()
+
+    survivors = gated.join(exact_keep, "doc_id")
+    pairs = minhash_lsh_pairs(survivors, threshold=args.near_dup_threshold)
+    groups = duplicate_groups(survivors, pairs)
+    kept = survivors.join(
+        groups.where(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+    )
+    kept.write.mode("overwrite").parquet(os.path.join(args.output, "curated"))
+    n_kept = spark.read.parquet(os.path.join(args.output, "curated")).count()
+
+    print(json.dumps({
+        "docs": n_docs,
+        "after_quality": n_quality,
+        "after_exact": n_exact,
+        "kept": n_kept,
+        "sec": round(time.time() - t0, 2),
+        "docs_per_sec": round(n_docs / max(time.time() - t0, 1e-9), 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -77,3 +77,58 @@ def test_write_metrics_table_date_partition(spark, tmp_path):
     assert set(str(r.date) for r in out.select("date").collect()) == {"2025-03-04", "2025-03-05"}
     # partition dirs exist on disk (hive layout)
     assert os.path.isdir(os.path.join(wh, "metrics", "date=2025-03-04"))
+
+
+def test_feature_combination_suffix_all_combos(spark):
+    """Exhaustive 16-combination parity: the native Column expression equals
+    the pure kernel for every subset of {TABLES, FORMS, LAYOUT, SIGNATURES}
+    (reference ocr/service.py:500-536 billing rules)."""
+    from itertools import combinations
+
+    from intelligent_document_processing_on_aws_spark.functions.scalars import (
+        feature_combination_suffix as col_fn,
+    )
+    from intelligent_document_processing_on_aws_spark.kernels.textnorm import (
+        feature_combination_suffix as py_fn,
+    )
+
+    feats = ["TABLES", "FORMS", "LAYOUT", "SIGNATURES"]
+    rows = [(i, list(c)) for i, c in enumerate(
+        sum([list(combinations(feats, k)) for k in range(5)], [])
+    )] + [(99, None)]
+    df = spark.createDataFrame(rows, "id long, features array<string>")
+    got = {r.id: r.suffix for r in
+           df.select("id", col_fn(F.col("features")).alias("suffix")).collect()}
+    for i, c in rows:
+        assert got[i] == py_fn(c), (c, got[i])
+    # spot semantics: signatures free with tables; layout free with forms
+    assert py_fn(["TABLES", "SIGNATURES"]) == "-Tables"
+    assert py_fn(["FORMS", "LAYOUT"]) == "-Forms"
+    assert py_fn(["SIGNATURES"]) == "-Signatures"
+
+
+def test_token_limit_warning_parity(spark):
+    """chars/4 estimate semantics of utils check_token_limit: warning iff
+    configured budget < estimate; no budget -> always None; native Column
+    twin agrees with the pure kernel."""
+    from intelligent_document_processing_on_aws_spark.functions.scalars import (
+        token_limit_warning_col,
+    )
+    from intelligent_document_processing_on_aws_spark.kernels.textnorm import (
+        token_limit_warning,
+    )
+
+    text, results = "x" * 300, "y" * 100  # estimate = 100 tokens
+    assert token_limit_warning(text, results, 99) is not None
+    assert token_limit_warning(text, results, 100) is None  # 100 < 100 false
+    assert token_limit_warning(text, results, None) is None
+    assert token_limit_warning("", "", 1) is None
+
+    df = spark.createDataFrame([(text, results)], "t string, r string")
+    for budget, want in ((99, True), (100, False)):
+        got = df.select(
+            token_limit_warning_col(F.col("t"), F.col("r"), budget).alias("w")
+        ).collect()[0].w
+        assert (got is not None) == want
+        if want:
+            assert got == token_limit_warning(text, results, budget)

@@ -138,3 +138,45 @@ def test_round2_operator_plans_no_python(spark, fixtures_dir):
     plan = flatten_confidence_payloads(payloads)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_granular_assessment_plan_native(spark, fixtures_dir):
+    """granular_assess is pure Catalyst: regexp task-id derivation + one
+    broadcast dim join, zero Python stages of any kind."""
+    from intelligent_document_processing_on_aws_spark.config import DOC_CLASSES
+    from intelligent_document_processing_on_aws_spark.operators.assessment import (
+        granular_assess,
+        granular_task_dim,
+    )
+
+    flat = spark.read.parquet(os.path.join(fixtures_dir, "flat_actual.parquet"))
+    secs = spark.read.parquet(os.path.join(fixtures_dir, "golden_sections.parquet"))
+    cfg = spark.createDataFrame(eval_config_rows())
+    dim = spark.createDataFrame(granular_task_dim(DOC_CLASSES))
+    df = granular_assess(flat, secs, cfg, dim)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    # AQE prints isFinalPlan=false before execution; execute THIS query
+    # (collect, not count — count builds a new QueryExecution), then
+    # confirm the final plan ran inside codegen spans (the `*(n)` stage
+    # markers are AQE's WholeStageCodegen notation)
+    df.collect()
+    final = _plan(df)
+    assert "isFinalPlan=true" in final
+    assert "*(" in final
+
+
+def test_ocr_table_markdown_plan_vectorized(spark):
+    """The blocks->markdown query is one Arrow-batched MapInPandas over the
+    scan — no shuffle, no row-at-a-time Python."""
+    from intelligent_document_processing_on_aws_spark.entry_queries import (
+        q_ocr_table_markdown,
+    )
+
+    df = q_ocr_table_markdown(spark, "")
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # row-parallel: no shuffle at all

@@ -390,3 +390,40 @@ def test_property_csv_writer_reader_roundtrip(rows):
     # one markdown row per non-blank csv row, plus the separator line
     md_rows = [ln for ln in res.extracted_text.split("\n") if ln.startswith("|")]
     assert len(md_rows) == len([r for r in rows if r]) + 1
+
+
+def test_ocr_json_routes_through_dispatch():
+    """A Textract-response payload (Blocks envelope or bare list) routes to
+    the block-markdown kernel from the main dispatch; malformed block trees
+    degrade to the plain LINE-text fallback (ocr/service.py:1580-1625)."""
+    import json
+
+    from intelligent_document_processing_on_aws_spark.kernels.extract import (
+        extract_page,
+        extract_page_safe,
+    )
+
+    blocks = [
+        {"BlockType": "PAGE", "Id": "p"},
+        {"BlockType": "WORD", "Id": "w1", "Text": "hello"},
+        {"BlockType": "LINE", "Id": "l1", "Text": "hello",
+         "Geometry": {"BoundingBox": {"Top": 0.1, "Left": 0.1}},
+         "Relationships": [{"Type": "CHILD", "Ids": ["w1"]}]},
+    ]
+    for payload in (blocks, {"Blocks": blocks}):
+        ctype, res = extract_page(json.dumps(payload).encode())
+        assert ctype == "ocr_json"
+        assert res.extracted_text == "hello"
+        assert res.n_blocks == 1  # one PAGE block counted
+    # geometry of a non-dict type forces the markdown path to raise ->
+    # plain-text fallback keeps the LINE text
+    bad = [{"BlockType": "TABLE", "Id": "t", "Geometry": {"BoundingBox": {"Top": "x"}},
+            "Relationships": [{"Type": "CHILD", "Ids": ["c"]}]},
+           {"BlockType": "CELL", "Id": "c", "RowIndex": 1, "ColumnIndex": 1},
+           {"BlockType": "LINE", "Id": "l", "Text": "still here"}]
+    ctype, res, err = extract_page_safe(json.dumps(bad).encode())
+    assert ctype == "ocr_json" and err is None
+    assert res.extracted_text == "still here"
+    # truncated JSON still never kills the batch
+    ctype, _res, err = extract_page_safe(b'[{"BlockType": "LINE"')
+    assert ctype == "error" and err is not None
