@@ -308,3 +308,27 @@ def duplicate_groups(
             (F.col("node") != F.col("label")).alias("is_duplicate"),
         )
     )
+
+
+def repeated_passages(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate-passage detector: n-token passages appearing in >= min_df
+    distinct documents, with their document frequency.
+
+    The training-data-curation counterpart of near-dup dedup: corpora keep
+    whole documents but strip passages repeated across many of them (nav
+    bars, cookie banners, license footers). Shape is one map-side shingle
+    explode (distinct within doc, so df = document frequency) + one hash
+    aggregation with partial combine — no joins, no skew exposure, linear
+    at 100 TB. Output: (passage, df) for passages at or above min_df.
+    """
+    sh = _shingles_df(docs, text_col, n)
+    return (
+        sh.groupBy(F.col("shingle").alias("passage"))
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= min_df)
+    )

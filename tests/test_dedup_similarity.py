@@ -275,3 +275,30 @@ def test_duplicate_groups_long_chain_converges(spark):
     )
     rows = duplicate_groups(docs, pairs).collect()
     assert all(r.group_id == 0 and r.group_size == n for r in rows)
+
+
+def test_repeated_passages_boilerplate_detection(spark):
+    """Passages repeated across >= min_df docs surface with exact df;
+    within-doc repetition counts once (document frequency, not term
+    frequency); short docs are skipped."""
+    from intelligent_document_processing_on_aws_spark.operators.dedup import (
+        repeated_passages,
+    )
+
+    footer = "subscribe to our newsletter today please"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma. {footer}"),
+            (2, f"delta epsilon zeta. {footer}"),
+            (3, f"eta theta iota. {footer} {footer}"),  # twice in one doc
+            (4, "unique words only here nothing shared"),
+            (5, "too short"),  # < n tokens: skipped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.passage: r.df for r in repeated_passages(docs, n=6, min_df=3).collect()}
+    assert out[footer] == 3  # df counts documents, not occurrences
+    assert all(p == footer or "newsletter" in p or "subscribe" in p
+               for p in out), out
+    # min_df gate: nothing from the unique doc
+    assert not any("unique" in p for p in out)
