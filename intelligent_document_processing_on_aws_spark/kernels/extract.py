@@ -59,7 +59,10 @@ def extract_page(
             md = blocks_to_markdown(blocks)
         except Exception:  # noqa: BLE001 — reference falls back, never dies
             md = blocks_plain_text(blocks)
-        n_pages = sum(1 for b in blocks if b.get("BlockType") == "PAGE") or (1 if md else 0)
+        n_pages = sum(
+            1 for b in blocks
+            if isinstance(b, dict) and b.get("BlockType") == "PAGE"
+        ) or (1 if md else 0)
         spans = [Span(0, len(md), 0)] if md else []
         return ctype, ExtractionResult(md, spans, 1.0 if md else 0.0, n_pages)
     if ctype == filetype.CSV:

@@ -71,6 +71,22 @@ def _is_ascii_image_magic(content: bytes) -> bool:
     return content[:6] in (b"GIF87a", b"GIF89a") or content.startswith(b"BM")
 
 
+def _is_textract_json(text: str) -> bool:
+    """True only for a parseable AnalyzeDocument shape: a {"Blocks": [...]}
+    envelope or a bare list whose dict entries carry BlockType. Truncated or
+    merely BlockType-mentioning JSON falls back to the text path."""
+    import json as _json
+
+    try:
+        payload = _json.loads(text)
+    except ValueError:
+        return False
+    blocks = payload.get("Blocks") if isinstance(payload, dict) else payload
+    return isinstance(blocks, list) and any(
+        isinstance(b, dict) and "BlockType" in b for b in blocks
+    )
+
+
 def detect_content_type_and_text(
     content: bytes, name_hint: str | None = None
 ) -> tuple[str, str | None]:
@@ -94,9 +110,12 @@ def detect_content_type_and_text(
     lowered = text[:2048].lower()
     if "<html" in lowered or "<!doctype html" in lowered or "<body" in lowered:
         return HTML, text
-    if text.lstrip()[:1] in ("[", "{") and '"blocktype"' in lowered:
+    if text.lstrip()[:1] in ("[", "{") and '"blocktype"' in lowered and _is_textract_json(text):
         # Textract AnalyzeDocument response JSON (a Blocks envelope or a
-        # bare block list) — routed to the block-tree markdown kernel
+        # bare block list) — routed to the block-tree markdown kernel.
+        # The cheap substring check only gates the full-parse validation:
+        # a JSON document that merely MENTIONS "BlockType" (a schema, a
+        # config) stays on the text path.
         return OCR_JSON, text
     hint = (name_hint or "").split("?")[0].lower()
     if hint.endswith(".csv"):

@@ -81,6 +81,7 @@ def blocks_to_markdown(blocks: list[dict]) -> str:
     """Full-page analog of textractor ``to_markdown()``: prose lines and
     table grids interleaved in geometric reading order, blank line between
     items of different kinds. Empty/strip-empty pages yield ''."""
+    blocks = [b for b in blocks if isinstance(b, dict)]  # tolerate junk rows
     by_id = {b["Id"]: b for b in blocks if b.get("Id")}
     tables = [b for b in blocks if b.get("BlockType") == "TABLE"]
 
@@ -114,9 +115,13 @@ def blocks_to_markdown(blocks: list[dict]) -> str:
     return "\n".join(out)
 
 
-def blocks_plain_text(blocks: list[dict]) -> str:
+def blocks_plain_text(blocks: list) -> str:
     """The reference's last-resort fallback: LINE texts joined by newline
-    (ocr/service.py:1611-1625)."""
+    (ocr/service.py:1611-1625). Runs inside the except handler of the
+    markdown ladder, so it must never raise itself — non-dict entries
+    (nulls, strings) are skipped, not trusted."""
     return "\n".join(
-        b["Text"] for b in blocks if b.get("BlockType") == "LINE" and b.get("Text")
+        b["Text"]
+        for b in blocks
+        if isinstance(b, dict) and b.get("BlockType") == "LINE" and b.get("Text")
     )

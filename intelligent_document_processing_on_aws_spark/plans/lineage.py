@@ -140,9 +140,18 @@ def run_with_resume_snapshots(
     result = extract_pages(todo, salt_partitions=salt_partitions)
     result.persist()
     try:
+        # Output commits FIRST: a kill between the two commits can only
+        # lose the lineage record, never duplicate data (the anti-join
+        # keys on the output table). The lineage row carries the output
+        # snapshot id, so a missing record is detectable (an output
+        # snapshot id absent from lineage) and backfillable from the
+        # output snapshot's own manifest counts — the same repair story
+        # as Iceberg, which has no cross-table transactions either.
         snap_id = commit_snapshot(result, output_table, "append")
         commit_snapshot(
-            partition_counters(result).withColumn("run_rows", F.lit(n_todo)),
+            partition_counters(result)
+            .withColumn("run_rows", F.lit(n_todo))
+            .withColumn("output_snapshot_id", F.lit(snap_id)),
             lineage_table,
             "append",
         )

@@ -41,6 +41,13 @@ from pyspark.sql import DataFrame, SparkSession
 VERSION_HINT = "version-hint.text"
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed between this commit's parent read and its
+    pointer flip (Iceberg's CommitFailedException analog). The staged
+    snapshot was abandoned (left dangling, invisible); callers retry the
+    whole commit to pick up the new parent."""
+
+
 def _snap_dir(table_dir: str, snapshot_id: int) -> str:
     return os.path.join(table_dir, f"snap-{snapshot_id:08d}")
 
@@ -77,16 +84,25 @@ def commit_snapshot(
         raise ValueError(f"unknown operation: {operation}")
     os.makedirs(table_dir, exist_ok=True)
     parent = current_snapshot_id(table_dir)
-    # ids must outrun every existing snap dir (committed, dangling, or
-    # rolled-back-past), so a commit after rollback_to never clobbers the
-    # newer snapshots it re-pointed away from
+    # Claim the snap dir with an atomic mkdir, retrying upward: ids must
+    # outrun every existing snap dir (committed, dangling, or
+    # rolled-back-past) so a commit after rollback_to never clobbers the
+    # newer snapshots it re-pointed away from, and two concurrent writers
+    # can never stage into (or overwrite) the same directory.
     existing = [
         int(d.split("-", 1)[1])
         for d in os.listdir(table_dir)
         if d.startswith("snap-") and d.split("-", 1)[1].isdigit()
     ]
-    snap_id = max(existing, default=0) + 1
-    snap = _snap_dir(table_dir, snap_id)
+    snap_id = max(existing, default=0)
+    while True:
+        snap_id += 1
+        snap = _snap_dir(table_dir, snap_id)
+        try:
+            os.mkdir(snap)
+            break
+        except FileExistsError:
+            continue
     data_dir = os.path.join(snap, "data")
     df.write.mode("overwrite").parquet(data_dir)
 
@@ -109,8 +125,19 @@ def commit_snapshot(
     with open(os.path.join(snap, "manifest.json"), "w", encoding="utf-8") as fh:
         json.dump(manifest, fh, sort_keys=True)
 
-    # atomic pointer flip — the commit point
-    tmp = os.path.join(table_dir, VERSION_HINT + ".tmp")
+    # Lost-update check before the flip: if another writer committed since
+    # we read `parent`, an append manifest built from the old parent would
+    # silently drop their rows — raise instead (caller retries), mirroring
+    # Iceberg's optimistic-concurrency CommitFailedException. The residual
+    # check-to-replace window is inherent to pointer-file catalogs; per-
+    # table single-writer remains the supported deployment, this guard
+    # converts the likely race outcomes from silent loss to a hard error.
+    if current_snapshot_id(table_dir) != parent:
+        raise CommitConflictError(
+            f"concurrent commit detected on {table_dir}: parent moved from "
+            f"{parent} to {current_snapshot_id(table_dir)}; retry the commit"
+        )
+    tmp = os.path.join(table_dir, f"{VERSION_HINT}.{snap_id}.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(str(snap_id))
     os.replace(tmp, os.path.join(table_dir, VERSION_HINT))
@@ -128,7 +155,10 @@ def read_table(
     snap = snapshot_id if snapshot_id is not None else current_snapshot_id(table_dir)
     if snap is None:
         return None
-    manifest = _read_manifest(table_dir, snap)
+    try:
+        manifest = _read_manifest(table_dir, snap)
+    except FileNotFoundError:
+        raise ValueError(f"snapshot {snap} was never committed") from None
     paths = [os.path.join(table_dir, f) for f in manifest["files"]]
     if not paths:
         return None
@@ -151,9 +181,14 @@ def snapshot_history(table_dir: str) -> list[dict]:
 
 def rollback_to(table_dir: str, snapshot_id: int) -> None:
     """Re-point the table at an earlier snapshot (rollback_to_snapshot
-    analog). Newer snapshots stay on disk and remain time-travel-readable."""
-    if not os.path.isdir(_snap_dir(table_dir, snapshot_id)):
-        raise ValueError(f"snapshot {snapshot_id} does not exist")
+    analog). Newer snapshots stay on disk and remain time-travel-readable.
+    Only a COMMITTED snapshot (data + manifest fully staged) is a valid
+    target — a dangling dir from a crashed writer is rejected, preserving
+    the crashed-commits-are-invisible invariant."""
+    if not os.path.isfile(
+        os.path.join(_snap_dir(table_dir, snapshot_id), "manifest.json")
+    ):
+        raise ValueError(f"snapshot {snapshot_id} was never committed")
     tmp = os.path.join(table_dir, VERSION_HINT + ".tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(str(snapshot_id))

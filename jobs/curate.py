@@ -63,22 +63,32 @@ def main() -> int:
     docs = spark.read.parquet(args.input).select("doc_id", "text")
     n_docs = docs.count()
 
-    stats = ts.document_stats(docs)
-    stats.write.mode("overwrite").parquet(os.path.join(args.output, "stats"))
+    # stats computed once, written, and RE-READ as the gate's input — the
+    # expensive lang/quality/token expressions never run a second time and
+    # every downstream stage reuses the materialized funnel stages instead
+    # of re-deriving lineage (the write/re-read pattern jobs/dedup.py uses)
+    ts.document_stats(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "stats")
+    )
+    stats = spark.read.parquet(os.path.join(args.output, "stats"))
 
     langs = [s.strip() for s in args.langs.split(",") if s.strip()]
-    gated = docs.where(
-        ts.detect_lang(F.col("text")).isin(langs)
-        & (ts.quality_score(F.col("text")) >= args.min_quality)
-        & ts.token_count(F.col("text")).between(args.min_tokens, args.max_tokens)
-    )
-    n_quality = gated.count()
+    gate_ids = stats.where(
+        F.col("lang_guess").isin(langs)
+        & (F.col("quality") >= args.min_quality)
+        & F.col("n_tokens").between(args.min_tokens, args.max_tokens)
+    ).select("doc_id")
+    gated = docs.join(gate_ids, "doc_id")
+    n_quality = gate_ids.count()
 
     exact = exact_dedup(gated)  # (doc_id, content_hash, ..., is_duplicate)
     exact_keep = exact.where(~F.col("is_duplicate")).select("doc_id")
-    n_exact = exact_keep.count()
 
     survivors = gated.join(exact_keep, "doc_id")
+    survivors.write.mode("overwrite").parquet(os.path.join(args.output, "survivors"))
+    survivors = spark.read.parquet(os.path.join(args.output, "survivors"))
+    n_exact = survivors.count()
+
     pairs = minhash_lsh_pairs(survivors, threshold=args.near_dup_threshold)
     groups = duplicate_groups(survivors, pairs)
     kept = survivors.join(

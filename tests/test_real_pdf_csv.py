@@ -424,6 +424,16 @@ def test_ocr_json_routes_through_dispatch():
     ctype, res, err = extract_page_safe(json.dumps(bad).encode())
     assert ctype == "ocr_json" and err is None
     assert res.extracted_text == "still here"
-    # truncated JSON still never kills the batch
+    # null entries in the block list survive both ladder rungs
+    noisy = blocks + [None, "junk"]
+    ctype, res = extract_page(json.dumps(noisy).encode())
+    assert ctype == "ocr_json" and res.extracted_text == "hello"
+    # truncated JSON fails the shape validation -> plain text path, no crash
     ctype, _res, err = extract_page_safe(b'[{"BlockType": "LINE"')
-    assert ctype == "error" and err is not None
+    assert ctype == "text" and err is None
+    # a JSON document that merely MENTIONS BlockType stays text with its
+    # full content (no silent empty extraction)
+    schema_doc = b'{"properties": {"BlockType": {"type": "string"}}}'
+    ctype, res = extract_page(schema_doc)
+    assert ctype == "text"
+    assert "BlockType" in res.extracted_text
