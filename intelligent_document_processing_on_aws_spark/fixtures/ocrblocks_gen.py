@@ -87,18 +87,26 @@ def gen_ocrblocks_doc(i: int) -> dict:
             top += 0.03
             continue
 
-        # -- a table: grid of cells, optional merge, duplicate row-LINEs
+        # -- a table: grid of cells, optional merge (span-attribute style or
+        # the real MERGED_CELL encoding), duplicate row-LINEs
         n_rows = 2 + rng.randrange(4)
         n_cols = 2 + rng.randrange(3)
         merge = None
-        if rng.random() < 0.3 and n_rows >= 3:
+        mr = rng.random()
+        if mr < 0.3 and n_rows >= 3:
             merge = (1 + rng.randrange(n_rows - 1), 1 + rng.randrange(n_cols),
                      "row")  # (anchor_row, anchor_col, axis); spans 2 rows
-        elif rng.random() < 0.3 and n_cols >= 3:
+        elif mr < 0.45 and n_cols >= 3:
             merge = (1 + rng.randrange(n_rows), 1 + rng.randrange(n_cols - 1),
                      "col")
+        elif mr < 0.6 and n_cols >= 3:
+            # MERGED_CELL shape: base cells stay span-1 with their own text;
+            # a MERGED_CELL block overlays two horizontal neighbours
+            merge = (1 + rng.randrange(n_rows), 1 + rng.randrange(n_cols - 1),
+                     "mc")
         cell_blocks: list[dict] = []
         cell_ids: list[str] = []
+        mc_members: list[tuple[str, str]] = []  # (cell_id, text) under the MERGED_CELL
         grid: list[list[str]] = [["" for _ in range(n_cols)] for _ in range(n_rows)]
         table_top = top
         for rr in range(1, n_rows + 1):
@@ -117,7 +125,7 @@ def gen_ocrblocks_doc(i: int) -> dict:
                     text = _words(rng)
                 cell: dict = {"BlockType": "CELL", "Id": ids.next("c"),
                               "RowIndex": rr, "ColumnIndex": cc}
-                if merge and (rr, cc) == (merge[0], merge[1]):
+                if merge and merge[2] in ("row", "col") and (rr, cc) == (merge[0], merge[1]):
                     if merge[2] == "row":
                         cell["RowSpan"] = 2
                     else:
@@ -131,6 +139,9 @@ def gen_ocrblocks_doc(i: int) -> dict:
                 cell_blocks.append(cell)
                 cell_ids.append(cell["Id"])
                 grid[rr - 1][cc - 1] = escape_pipes(text)
+                if (merge and merge[2] == "mc" and rr == merge[0]
+                        and cc in (merge[1], merge[1] + 1)):
+                    mc_members.append((cell["Id"], text))
             # Textract also emits a LINE per table row over the same words;
             # the kernel must drop it (all words claimed by cells).
             if row_wids:
@@ -140,6 +151,17 @@ def gen_ocrblocks_doc(i: int) -> dict:
                     "Relationships": [{"Type": "CHILD", "Ids": row_wids}],
                 })
             top += 0.025
+        if merge and merge[2] == "mc" and mc_members:
+            mc = {"BlockType": "MERGED_CELL", "Id": ids.next("m"),
+                  "RowIndex": merge[0], "ColumnIndex": merge[1],
+                  "RowSpan": 1, "ColumnSpan": 2,
+                  "Relationships": [{"Type": "CHILD",
+                                     "Ids": [cid for cid, _ in mc_members]}]}
+            cell_blocks.append(mc)
+            cell_ids.append(mc["Id"])
+            combined = " ".join(t for _, t in mc_members if t)
+            grid[merge[0] - 1][merge[1] - 1] = escape_pipes(combined)
+            grid[merge[0] - 1][merge[1]] = ""
         tables.append({
             "BlockType": "TABLE", "Id": ids.next("t"),
             "Geometry": _bbox(table_top),

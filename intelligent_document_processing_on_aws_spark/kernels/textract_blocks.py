@@ -55,12 +55,17 @@ def table_to_markdown(table: dict, by_id: dict[str, dict]) -> str:
     Grid size is the max extent of (RowIndex+RowSpan, ColumnIndex+ColumnSpan)
     over the table's CELL children (Textract indices are 1-based). Cells
     covered by a span render as ''.
+
+    Merges are accepted in BOTH public shapes: span attributes directly on
+    a CELL, and the real AnalyzeDocument encoding — MERGED_CELL children of
+    the TABLE carrying the span and CHILD links to the base cells they
+    cover (base cells stay span-1). A merged region renders its combined
+    text at the anchor (top-left) position and '' elsewhere, textractor's
+    merged-cell rendering.
     """
-    cells = [
-        by_id[cid]
-        for cid in _child_ids(table)
-        if cid in by_id and by_id[cid].get("BlockType") == "CELL"
-    ]
+    children = [by_id[cid] for cid in _child_ids(table) if cid in by_id]
+    cells = [c for c in children if c.get("BlockType") == "CELL"]
+    merged = [c for c in children if c.get("BlockType") == "MERGED_CELL"]
     if not cells:
         return ""
     n_rows = max(c.get("RowIndex", 1) + c.get("RowSpan", 1) - 1 for c in cells)
@@ -69,6 +74,20 @@ def table_to_markdown(table: dict, by_id: dict[str, dict]) -> str:
     for c in cells:
         r, col = c.get("RowIndex", 1) - 1, c.get("ColumnIndex", 1) - 1
         grid[r][col] = escape_pipes(_cell_text(c, by_id))
+    for m in merged:
+        r0, c0 = m.get("RowIndex", 1) - 1, m.get("ColumnIndex", 1) - 1
+        base = [
+            by_id[cid]
+            for cid in _child_ids(m)
+            if cid in by_id and by_id[cid].get("BlockType") == "CELL"
+        ]
+        texts = [t for t in (_cell_text(b, by_id) for b in base) if t]
+        for b in base:
+            br, bc = b.get("RowIndex", 1) - 1, b.get("ColumnIndex", 1) - 1
+            if 0 <= br < n_rows and 0 <= bc < n_cols:
+                grid[br][bc] = ""
+        if 0 <= r0 < n_rows and 0 <= c0 < n_cols:
+            grid[r0][c0] = escape_pipes(" ".join(texts))
     return format_pipe_table(grid)
 
 

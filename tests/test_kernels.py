@@ -295,3 +295,37 @@ def test_textract_fixture_family_differential():
 
     for d in gen_ocrblocks_docs(60):
         assert blocks_to_markdown(json.loads(d["blocks_json"])) == d["page_md"]
+
+
+def test_textract_merged_cell_blocks():
+    """Real AnalyzeDocument merge encoding: base cells stay span-1, a
+    MERGED_CELL child of the TABLE carries the span + CHILD links; combined
+    text renders at the anchor, '' at covered positions."""
+    from intelligent_document_processing_on_aws_spark.kernels.textract_blocks import (
+        table_to_markdown,
+    )
+
+    blocks = [
+        {"BlockType": "WORD", "Id": "w1", "Text": "Total"},
+        {"BlockType": "WORD", "Id": "w2", "Text": "42"},
+        {"BlockType": "WORD", "Id": "w3", "Text": "x"},
+        {"BlockType": "WORD", "Id": "w4", "Text": "y"},
+        {"BlockType": "CELL", "Id": "c1", "RowIndex": 1, "ColumnIndex": 1,
+         "Relationships": [{"Type": "CHILD", "Ids": ["w3"]}]},
+        {"BlockType": "CELL", "Id": "c2", "RowIndex": 1, "ColumnIndex": 2,
+         "Relationships": [{"Type": "CHILD", "Ids": ["w4"]}]},
+        {"BlockType": "CELL", "Id": "c3", "RowIndex": 2, "ColumnIndex": 1,
+         "Relationships": [{"Type": "CHILD", "Ids": ["w1"]}]},
+        {"BlockType": "CELL", "Id": "c4", "RowIndex": 2, "ColumnIndex": 2,
+         "Relationships": [{"Type": "CHILD", "Ids": ["w2"]}]},
+        {"BlockType": "MERGED_CELL", "Id": "m1", "RowIndex": 2,
+         "ColumnIndex": 1, "RowSpan": 1, "ColumnSpan": 2,
+         "Relationships": [{"Type": "CHILD", "Ids": ["c3", "c4"]}]},
+    ]
+    table = {"BlockType": "TABLE", "Id": "t1",
+             "Relationships": [{"Type": "CHILD",
+                                "Ids": ["c1", "c2", "c3", "c4", "m1"]}]}
+    by_id = {b["Id"]: b for b in blocks}
+    md = table_to_markdown(table, by_id).split("\n")
+    assert md[0] == "| x | y |"
+    assert md[2] == "| Total 42 |  |"  # combined at anchor, covered blank
