@@ -54,6 +54,8 @@ def chunk_text_with_overlap(
 ) -> list[str]:
     """Pure twin of the reference chunker (service.py:81-126) with the
     termination fix described in the module docstring."""
+    if not 0 <= overlap_percentage < 100:
+        raise ValueError("overlap_percentage must be in [0, 100)")
     if len(text) // token_size <= max_chunk_size:
         return [text]
     chunk_chars = max_chunk_size * token_size
@@ -75,34 +77,43 @@ def _chunks_col(
     token_size: int,
     overlap_percentage: int,
 ):
-    """array<string> of chunk windows, same boundaries as the pure twin."""
+    """array<string> of chunk windows, same boundaries as the pure twin.
+    The single-chunk branch returns the text UNCUT: the token estimate
+    (len // token_size <= max) can admit texts up to token_size-1 chars
+    longer than the char window, and the reference keeps them whole."""
+    if not 0 <= overlap_percentage < 100:
+        raise ValueError("overlap_percentage must be in [0, 100)")
     chunk = max_chunk_size * token_size
     step = chunk - int(chunk * (overlap_percentage / 100))
     n = F.length(text)
     # last window index: first k with k*step + chunk >= len
     last_k = F.ceil((n - F.lit(chunk)) / F.lit(float(step))).cast("int")
-    ks = F.when(
-        (n / F.lit(token_size)).cast("long") <= max_chunk_size, F.array(F.lit(0))
-    ).otherwise(F.sequence(F.lit(0), F.greatest(last_k, F.lit(0))))
-    return F.transform(ks, lambda k: text.substr(k * step + 1, F.lit(chunk)))
+    windows = F.transform(
+        F.sequence(F.lit(0), F.greatest(last_k, F.lit(0))),
+        lambda k: text.substr(k * step + 1, F.lit(chunk)),
+    )
+    return F.when(
+        (n / F.lit(token_size)).cast("long") <= max_chunk_size, F.array(text)
+    ).otherwise(windows)
 
 
 def validate_criteria(
     docs: DataFrame,
     criteria: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     max_chunk_size: int = DEFAULT_MAX_CHUNK_SIZE,
     token_size: int = DEFAULT_TOKEN_SIZE,
     overlap_percentage: int = DEFAULT_OVERLAP_PCT,
 ) -> DataFrame:
-    """docs (doc_id, text) x criteria (criteria_type, question_id,
+    """docs (id_col, text_col) x criteria (criteria_type, question_id,
     pass_pattern, fail_pattern nullable) -> one decision row per
-    (doc, question): (doc_id, criteria_type, question_id, decision,
+    (doc, question): (id_col, criteria_type, question_id, decision,
     n_chunks)."""
     chunks = _chunks_col(
         F.col(text_col), max_chunk_size, token_size, overlap_percentage
     )
-    joined = docs.select("doc_id", chunks.alias("chunks")).crossJoin(
+    joined = docs.select(id_col, chunks.alias("chunks")).crossJoin(
         F.broadcast(criteria)
     )
     any_pass = F.exists("chunks", lambda c: F.regexp_like(c, F.col("pass_pattern")))
@@ -115,7 +126,7 @@ def validate_criteria(
         .otherwise(F.lit(DECISION_NOT_FOUND))
     )
     return joined.select(
-        "doc_id",
+        id_col,
         "criteria_type",
         "question_id",
         decision.alias("decision"),

@@ -90,3 +90,44 @@ def test_validate_criteria_plan_native(spark):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "Broadcast" in plan
+
+
+def test_single_chunk_keeps_full_text_spark(spark):
+    """A 103-char doc passes the token estimate (103//4=25<=25) but exceeds
+    the 100-char window: the single chunk must keep the FULL text — a
+    pattern in the trailing chars still matches (regression: the Spark
+    branch once truncated to the window)."""
+    text = "x" * 100 + "XYZ"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    crit = spark.createDataFrame(
+        [("c", "q", "XYZ", None)],
+        "criteria_type string, question_id string, pass_pattern string, fail_pattern string",
+    )
+    row = validate_criteria(docs, crit, max_chunk_size=25, token_size=4,
+                            overlap_percentage=10).collect()[0]
+    assert row.decision == "Pass" and row.n_chunks == 1
+    assert chunk_text_with_overlap(text, 25, 4, 10) == [text]
+
+
+def test_chunker_rejects_degenerate_overlap(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_text_with_overlap("x" * 500, 100, 1, 100)
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    crit = spark.createDataFrame(
+        [("c", "q", "t", None)],
+        "criteria_type string, question_id string, pass_pattern string, fail_pattern string",
+    )
+    with _pytest.raises(ValueError):
+        validate_criteria(docs, crit, overlap_percentage=100)
+
+
+def test_validate_criteria_custom_id_col(spark):
+    docs = spark.createDataFrame([(7, "spark here")], "page_id long, text string")
+    crit = spark.createDataFrame(
+        [("c", "q", "spark", None)],
+        "criteria_type string, question_id string, pass_pattern string, fail_pattern string",
+    )
+    row = validate_criteria(docs, crit, id_col="page_id").collect()[0]
+    assert row.page_id == 7 and row.decision == "Pass"
