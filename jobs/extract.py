@@ -4,11 +4,17 @@ Usage (local or cluster):
   spark-submit --py-files idp_spark.zip jobs/extract.py \
       --input fixtures_data/t2_pages.parquet \
       --output /tmp/extracted \
-      [--salt-partitions 64] [--synthetic-rows N]
+      [--salt-partitions 64] [--synthetic-rows N] [--snapshots]
 
 Reads a pages table (url, warc_ts, html, text, lang), runs the vectorized
 extraction stage, writes the result table partitioned by content_type, and
 prints a one-line JSON summary (rows, docs/sec).
+
+With --snapshots the output and per-partition lineage land as atomic
+snapshot commits (sources/snapshots.py) under {output}/table and
+{output}/lineage: re-running the same command resumes from the last
+committed snapshot, processing only not-yet-committed urls — the kill
+mid-run / re-run path.
 """
 
 from __future__ import annotations
@@ -33,6 +39,8 @@ def main() -> int:
     ap.add_argument("--synthetic-rows", type=int, default=None,
                     help="generate N synthetic pages on executors instead of reading --input")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--snapshots", action="store_true",
+                    help="snapshot-committed output + lineage with resume")
     args = ap.parse_args()
 
     spark = get_spark("idp-extract", master=args.master)
@@ -46,6 +54,26 @@ def main() -> int:
         if not args.input:
             ap.error("--input required unless --synthetic-rows given")
         pages = spark.read.parquet(args.input)
+    if args.snapshots:
+        from intelligent_document_processing_on_aws_spark.plans.lineage import (
+            run_with_resume_snapshots,
+        )
+        from intelligent_document_processing_on_aws_spark.sources.snapshots import (
+            read_table,
+        )
+
+        stats = run_with_resume_snapshots(
+            spark, pages,
+            os.path.join(args.output, "table"),
+            os.path.join(args.output, "lineage"),
+            salt_partitions=args.salt_partitions or 32,
+        )
+        n = read_table(spark, os.path.join(args.output, "table")).count()
+        dt = time.time() - t0
+        print(json.dumps({"rows": n, "sec": round(dt, 2),
+                          "docs_per_sec": round(n / dt, 1), **stats}))
+        spark.stop()
+        return 0
     result = extract_pages(pages, salt_partitions=args.salt_partitions)
     (
         result.write.mode("overwrite")
