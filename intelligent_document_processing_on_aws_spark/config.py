@@ -139,3 +139,25 @@ def eval_config_rows(classes: dict | None = None) -> list[dict]:
                                  "method": method,
                                  "threshold": float(thr or 0.8)})
     return rows
+
+
+def deep_merge_config(default: dict, custom: dict) -> dict:
+    """Recursive Default+Custom configuration merge, custom winning
+    (reference config/__init__.py:50-71 ``ConfigurationReader.deep_merge``):
+    nested dicts merge key-wise, anything else (including a custom non-dict
+    over a default dict) replaces; inputs are never mutated."""
+    from copy import deepcopy
+
+    result = deepcopy(default)
+    for key, value in custom.items():
+        if key in result and isinstance(result[key], dict) and isinstance(value, dict):
+            result[key] = deep_merge_config(result[key], value)
+        else:
+            result[key] = deepcopy(value)
+    return result
+
+
+def resolve_classes(custom: dict | None = None) -> dict:
+    """The get_merged_configuration analog for the class/attribute schema:
+    library DOC_CLASSES as Default, user overrides as Custom."""
+    return deep_merge_config(DOC_CLASSES, custom or {})
