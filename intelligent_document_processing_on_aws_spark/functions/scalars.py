@@ -92,3 +92,24 @@ def token_limit_warning_col(
             f"for this document."
         ),
     )
+
+
+_CLASS_LABEL_PATTERNS = (
+    "class: ", "document type: ", "document class: ",
+    "classification: ", "type: ",
+)
+
+
+def extract_class_from_text_col(col: Column) -> Column:
+    """Catalyst twin of kernels/textnorm.extract_class_from_text
+    (classification/service.py:1432-1453): same fixed pattern order,
+    case-insensitive find, original-case value to end-of-line, whitespace
+    then quote strip. Native when/regexp chain."""
+    expr = F.lit("")
+    for pattern in reversed(_CLASS_LABEL_PATTERNS):
+        raw = F.regexp_extract(col, r"(?i)" + pattern + r"([^\n]*)", 1)
+        val = F.regexp_replace(
+            F.regexp_replace(F.trim(raw), "^[\"']+", ""), "[\"']+$", ""
+        )
+        expr = F.when(F.lower(col).contains(pattern), val).otherwise(expr)
+    return expr

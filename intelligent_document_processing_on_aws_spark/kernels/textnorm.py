@@ -237,3 +237,27 @@ def token_limit_warning(
             f"for this document."
         )
     return None
+
+
+CLASS_LABEL_PATTERNS = (
+    "class: ", "document type: ", "document class: ",
+    "classification: ", "type: ",
+)
+
+
+def extract_class_from_text(text: str) -> str:
+    """Classification-response fallback parser (reference
+    classification/service.py:1432-1453 ``_extract_class_from_text``):
+    patterns tried in fixed order, match located case-insensitively, the
+    ORIGINAL-case value taken to end-of-line, stripped of whitespace and
+    surrounding quotes; '' when nothing matches."""
+    text_lower = text.lower()
+    for pattern in CLASS_LABEL_PATTERNS:
+        idx = text_lower.find(pattern)
+        if idx != -1:
+            start = idx + len(pattern)
+            end = text_lower.find("\n", start)
+            if end == -1:
+                end = len(text_lower)
+            return text[start:end].strip().strip("\"'")
+    return ""

@@ -132,3 +132,38 @@ def test_token_limit_warning_parity(spark):
         assert (got is not None) == want
         if want:
             assert got == token_limit_warning(text, results, budget)
+
+
+def test_extract_class_from_text_parity(spark):
+    """Fixed pattern order, case preservation, quote strip, EOL slicing —
+    native twin equals the pure kernel on every shape
+    (classification/service.py:1432-1453)."""
+    from intelligent_document_processing_on_aws_spark.functions.scalars import (
+        extract_class_from_text_col,
+    )
+    from intelligent_document_processing_on_aws_spark.kernels.textnorm import (
+        extract_class_from_text,
+    )
+
+    cases = [
+        "Class: Invoice\nrest",            # case-insensitive find, case kept
+        'classification: "bank_statement"',
+        "The document type: W2 Form",
+        "document class: Receipt",          # 'class: ' substring hit wins
+        "type: 'letter'",
+        "no label here",
+        "TYPE: loud\nquiet",
+        "class:missing-space",              # no trailing space -> no match...
+        "prefix\nclass: tail value  ",
+    ]
+    expected = [extract_class_from_text(t) for t in cases]
+    assert expected[0] == "Invoice"
+    assert expected[1] == "bank_statement"
+    assert expected[3] == "Receipt"
+    assert expected[5] == ""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               "id long, t string")
+    got = {r.id: r.v for r in
+           df.select("id", extract_class_from_text_col(F.col("t")).alias("v")).collect()}
+    for i, want in enumerate(expected):
+        assert got[i] == want, (cases[i], got[i], want)
