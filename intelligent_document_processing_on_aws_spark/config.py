@@ -145,15 +145,25 @@ def deep_merge_config(default: dict, custom: dict) -> dict:
     """Recursive Default+Custom configuration merge, custom winning
     (reference config/__init__.py:50-71 ``ConfigurationReader.deep_merge``):
     nested dicts merge key-wise, anything else (including a custom non-dict
-    over a default dict) replaces; inputs are never mutated."""
+    over a default dict) replaces; inputs are never mutated. Key order
+    matches the reference (default order, new custom keys appended), and
+    each leaf is copied exactly once (the reference re-deepcopies every
+    subtree per recursion level)."""
     from copy import deepcopy
 
-    result = deepcopy(default)
-    for key, value in custom.items():
-        if key in result and isinstance(result[key], dict) and isinstance(value, dict):
-            result[key] = deep_merge_config(result[key], value)
+    result: dict = {}
+    for key, dval in default.items():
+        if key in custom:
+            cval = custom[key]
+            if isinstance(dval, dict) and isinstance(cval, dict):
+                result[key] = deep_merge_config(dval, cval)
+            else:
+                result[key] = deepcopy(cval)
         else:
-            result[key] = deepcopy(value)
+            result[key] = deepcopy(dval)
+    for key, cval in custom.items():
+        if key not in default:
+            result[key] = deepcopy(cval)
     return result
 
 

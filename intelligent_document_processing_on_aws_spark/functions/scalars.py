@@ -94,22 +94,21 @@ def token_limit_warning_col(
     )
 
 
-_CLASS_LABEL_PATTERNS = (
-    "class: ", "document type: ", "document class: ",
-    "classification: ", "type: ",
-)
-
-
 def extract_class_from_text_col(col: Column) -> Column:
     """Catalyst twin of kernels/textnorm.extract_class_from_text
-    (classification/service.py:1432-1453): same fixed pattern order,
+    (classification/service.py:1432-1453): same fixed pattern order (the
+    tuple is IMPORTED from the kernel so the twins cannot drift),
     case-insensitive find, original-case value to end-of-line, whitespace
-    then quote strip. Native when/regexp chain."""
+    then quote strip. Native when/regexp chain; (?U) makes Java's \\s match
+    the same Unicode whitespace Python's str.strip() removes."""
+    from ..kernels.textnorm import CLASS_LABEL_PATTERNS
+
     expr = F.lit("")
-    for pattern in reversed(_CLASS_LABEL_PATTERNS):
+    for pattern in reversed(CLASS_LABEL_PATTERNS):
         raw = F.regexp_extract(col, r"(?i)" + pattern + r"([^\n]*)", 1)
+        ws_stripped = F.regexp_replace(raw, r"(?U)^\s+|\s+$", "")
         val = F.regexp_replace(
-            F.regexp_replace(F.trim(raw), "^[\"']+", ""), "[\"']+$", ""
+            F.regexp_replace(ws_stripped, "^[\"']+", ""), "[\"']+$", ""
         )
         expr = F.when(F.lower(col).contains(pattern), val).otherwise(expr)
     return expr

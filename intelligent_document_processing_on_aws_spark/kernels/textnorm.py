@@ -250,14 +250,17 @@ def extract_class_from_text(text: str) -> str:
     classification/service.py:1432-1453 ``_extract_class_from_text``):
     patterns tried in fixed order, match located case-insensitively, the
     ORIGINAL-case value taken to end-of-line, stripped of whitespace and
-    surrounding quotes; '' when nothing matches."""
-    text_lower = text.lower()
+    surrounding quotes; '' when nothing matches.
+
+    One documented fix: the reference indexes into the original text with
+    offsets computed on ``text.lower()``, which can change string length
+    (e.g. 'İ'.lower() is two chars) and corrupt the slice; a
+    case-insensitive regex search keeps indices aligned."""
     for pattern in CLASS_LABEL_PATTERNS:
-        idx = text_lower.find(pattern)
-        if idx != -1:
-            start = idx + len(pattern)
-            end = text_lower.find("\n", start)
+        m = re.search(re.escape(pattern), text, re.IGNORECASE)
+        if m:
+            end = text.find("\n", m.end())
             if end == -1:
-                end = len(text_lower)
-            return text[start:end].strip().strip("\"'")
+                end = len(text)
+            return text[m.end():end].strip().strip("\"'")
     return ""

@@ -68,10 +68,13 @@ def main() -> int:
             os.path.join(args.output, "lineage"),
             salt_partitions=args.salt_partitions or 32,
         )
-        n = read_table(spark, os.path.join(args.output, "table")).count()
+        tbl = read_table(spark, os.path.join(args.output, "table"))
+        n = tbl.count() if tbl is not None else 0
         dt = time.time() - t0
+        # throughput reflects THIS run's work; rows is the committed total
         print(json.dumps({"rows": n, "sec": round(dt, 2),
-                          "docs_per_sec": round(n / dt, 1), **stats}))
+                          "docs_per_sec": round(stats["processed"] / dt, 1),
+                          **stats}))
         spark.stop()
         return 0
     result = extract_pages(pages, salt_partitions=args.salt_partitions)

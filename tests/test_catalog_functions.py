@@ -167,3 +167,29 @@ def test_extract_class_from_text_parity(spark):
            df.select("id", extract_class_from_text_col(F.col("t")).alias("v")).collect()}
     for i, want in enumerate(expected):
         assert got[i] == want, (cases[i], got[i], want)
+
+
+def test_extract_class_from_text_whitespace_and_unicode(spark):
+    """Regression inputs from review: CRLF values, tab-wrapped quotes, and
+    a length-changing lowercase char must agree between twins and be clean."""
+    from intelligent_document_processing_on_aws_spark.functions.scalars import (
+        extract_class_from_text_col,
+    )
+    from intelligent_document_processing_on_aws_spark.kernels.textnorm import (
+        extract_class_from_text,
+    )
+
+    cases = [
+        "class: Invoice\r\nnext",    # CRLF: \r must strip
+        "class: \t'Invoice'\t",      # tabs around quotes
+        "İ\nclass: Invoice",     # 'İ' lowers to 2 chars — index shift
+        "class:  Invoice ", # unicode NBSP whitespace
+    ]
+    expected = [extract_class_from_text(t) for t in cases]
+    assert expected == ["Invoice"] * 4
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               "id long, t string")
+    got = {r.id: r.v for r in
+           df.select("id", extract_class_from_text_col(F.col("t")).alias("v")).collect()}
+    for i, want in enumerate(expected):
+        assert got[i] == want, (cases[i], got[i], want)
