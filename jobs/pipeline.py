@@ -63,15 +63,25 @@ def main() -> int:
     wh = args.warehouse
     counts = {}
 
+    from intelligent_document_processing_on_aws_spark.plans.status import (
+        append_status,
+        status_counts,
+    )
+
     pages = spark.read.parquet(args.pages)
+    doc_ids = pages.select(F.col("doc_id")).distinct()
+    doc_ids.persist()
+    append_status(doc_ids, "QUEUED", wh)
     sections = classify_and_section(pages)
     sections.persist()
     counts["sections"] = sections.count()
+    append_status(doc_ids, "CLASSIFYING", wh)
 
     attrs = extract_section_attributes(sections)
     attrs.persist()
     counts["attributed_sections"] = attrs.count()
     write_document_sections(attrs, wh, mode="overwrite")
+    append_status(attrs, "EXTRACTING", wh)
 
     cfg = spark.createDataFrame(eval_config_rows())
     flat_actual = flatten_attributes(attrs)
@@ -79,6 +89,7 @@ def main() -> int:
     alerts = threshold_alerts(assessed)
     alerts.write.mode("overwrite").parquet(os.path.join(wh, "confidence_alerts"))
     counts["alerts"] = spark.read.parquet(os.path.join(wh, "confidence_alerts")).count()
+    append_status(assessed, "ASSESSING", wh)
 
     section_summaries = summarize_sections(sections)
     summaries = assemble_document_markdown(section_summaries)
@@ -93,6 +104,7 @@ def main() -> int:
     )
     summaries.write.mode("overwrite").parquet(os.path.join(wh, "document_summaries"))
     counts["summaries"] = summaries.count()
+    append_status(summaries, "SUMMARIZING", wh)
 
     if args.expected:
         from intelligent_document_processing_on_aws_spark.operators.evaluation import (
@@ -126,10 +138,13 @@ def main() -> int:
         ).collect()[0]
         counts["eval_f1"] = round(overall.f1_score, 4)
         counts["eval_accuracy"] = round(overall.accuracy, 4)
+        append_status(counted, "EVALUATING", wh)
 
+    append_status(doc_ids, "COMPLETED", wh)
     print(json.dumps({
         "warehouse_tables": list_warehouse_tables(spark, wh),
         "counts": counts,
+        "status": status_counts(spark, wh),
         "sec": round(time.time() - t0, 2),
     }))
     spark.stop()

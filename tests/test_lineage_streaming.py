@@ -248,3 +248,39 @@ def test_streaming_mixed_formats_matches_batch(spark, tmp_path, fixtures_dir):
     assert s_rows == b_rows
     types = {r.content_type for r in streamed.collect()}
     assert {"html", "pdf", "csv", "ocr_json"} <= types
+
+
+def test_document_status_lifecycle(spark, tmp_path):
+    """Tracking-service analog (models.py Status + docs_service updates):
+    per-doc transitions append, latest = furthest stage, FAILED outranks
+    COMPLETED, unknown status rejected."""
+    from intelligent_document_processing_on_aws_spark.plans.status import (
+        append_status,
+        latest_status,
+        status_counts,
+    )
+
+    wh = str(tmp_path / "wh")
+    ids = lambda *v: spark.createDataFrame([(x,) for x in v], "doc_id long")  # noqa: E731
+    append_status(ids(1, 2, 3), "QUEUED", wh)
+    append_status(ids(1, 2, 3), "CLASSIFYING", wh)
+    append_status(ids(1, 2), "EXTRACTING", wh)
+    append_status(ids(1), "COMPLETED", wh)
+    append_status(ids(2), "FAILED", wh)
+
+    latest = {r.doc_id: r.status for r in latest_status(spark, wh).collect()}
+    assert latest == {1: "COMPLETED", 2: "FAILED", 3: "CLASSIFYING"}
+    assert status_counts(spark, wh) == {"COMPLETED": 1, "FAILED": 1,
+                                        "CLASSIFYING": 1}
+    # FAILED outranks COMPLETED (a failure is never masked)
+    append_status(ids(1), "FAILED", wh)
+    assert {r.doc_id: r.status for r in
+            latest_status(spark, wh).collect()}[1] == "FAILED"
+    # duplicate appends are idempotent for latest_status
+    append_status(ids(3), "CLASSIFYING", wh)
+    assert {r.doc_id: r.status for r in
+            latest_status(spark, wh).collect()}[3] == "CLASSIFYING"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        append_status(ids(1), "NOT_A_STATUS", wh)
