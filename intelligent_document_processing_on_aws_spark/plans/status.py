@@ -43,14 +43,21 @@ def append_status(
     )
 
 
-def latest_status(spark: SparkSession, warehouse: str) -> DataFrame:
-    """(doc_id, status) at the document's furthest recorded stage."""
-    tbl = spark.read.parquet(os.path.join(warehouse, STATUS_TABLE))
+def latest_status_df(transitions: DataFrame) -> DataFrame:
+    """(doc_id, status) at the furthest recorded stage of a transitions
+    relation (doc_id, status, seq) — the docs-service current-status read."""
     w = Window.partitionBy("doc_id").orderBy(F.col("seq").desc())
     return (
-        tbl.withColumn("_rn", F.row_number().over(w))
+        transitions.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("doc_id", "status")
+    )
+
+
+def latest_status(spark: SparkSession, warehouse: str) -> DataFrame:
+    """(doc_id, status) at the document's furthest recorded stage."""
+    return latest_status_df(
+        spark.read.parquet(os.path.join(warehouse, STATUS_TABLE))
     )
 
 
