@@ -34,6 +34,9 @@ from intelligent_document_processing_on_aws_spark.session import get_spark  # no
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="pages parquet path (omit with --synthetic-rows)")
+    ap.add_argument("--manifest",
+                    help="CSV/JSON manifest of input parquet paths "
+                         "(CLI ManifestParser semantics)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--salt-partitions", type=int, default=None)
     ap.add_argument("--synthetic-rows", type=int, default=None,
@@ -50,9 +53,19 @@ def main() -> int:
 
         pages = synthetic_pages(spark, args.synthetic_rows,
                                 partitions=args.salt_partitions or 32)
+    elif args.manifest:
+        from intelligent_document_processing_on_aws_spark.plans.manifest import (
+            parse_manifest,
+        )
+
+        specs = parse_manifest(args.manifest)
+        remote = [d["path"] for d in specs if d["type"] != "local"]
+        if remote:
+            ap.error(f"manifest names non-local inputs (no object store here): {remote[:3]}")
+        pages = spark.read.parquet(*[d["path"] for d in specs])
     else:
         if not args.input:
-            ap.error("--input required unless --synthetic-rows given")
+            ap.error("--input or --manifest required unless --synthetic-rows given")
         pages = spark.read.parquet(args.input)
     if args.snapshots:
         from intelligent_document_processing_on_aws_spark.plans.lineage import (

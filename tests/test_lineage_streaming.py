@@ -284,3 +284,51 @@ def test_document_status_lifecycle(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         append_status(ids(1), "NOT_A_STATUS", wh)
+
+
+def test_manifest_parser_parity(tmp_path, spark, fixtures_dir):
+    """CLI ManifestParser semantics (manifest_parser.py:20-169): CSV and
+    JSON (array / documents-key) forms, s3/local auto-typing, baseline
+    passthrough, row-numbered errors, and the Spark batch read over the
+    listed local inputs."""
+    import json
+
+    from intelligent_document_processing_on_aws_spark.plans.manifest import (
+        parse_manifest,
+        validate_manifest,
+    )
+
+    t1 = os.path.join(fixtures_dir, "t1_pages.parquet")
+    csv_m = tmp_path / "m.csv"
+    csv_m.write_text(
+        "document_path,baseline_source\n"
+        f"{t1},\n"
+        "s3://bucket/key/doc.pdf,s3://bucket/base/doc.json\n"
+    )
+    docs = parse_manifest(str(csv_m))
+    assert docs[0]["type"] == "local" and docs[0]["baseline_source"] is None
+    assert docs[1] == {"path": "s3://bucket/key/doc.pdf", "type": "s3",
+                       "filename": "doc.pdf",
+                       "baseline_source": "s3://bucket/base/doc.json"}
+
+    for payload in ([{"path": t1}], {"documents": [{"path": t1}]}):
+        j = tmp_path / "m.json"
+        j.write_text(json.dumps(payload))
+        assert parse_manifest(str(j))[0]["type"] == "local"
+
+    # row-numbered errors; validate_manifest never raises
+    bad = tmp_path / "bad.csv"
+    bad.write_text("document_path,baseline_source\n,orphan-baseline\n")
+    ok, err = validate_manifest(str(bad))
+    assert not ok and "Row 2" in err
+    missing = tmp_path / "missing.csv"
+    missing.write_text("document_path\n/no/such/file.parquet\n")
+    ok, err = validate_manifest(str(missing))
+    assert not ok and "not found" in err
+    ok, err = validate_manifest(str(tmp_path / "m.yaml"))
+    assert not ok and "Unsupported manifest format" in err
+
+    # the batch surface: Spark reads every local input the manifest names
+    local_paths = [d["path"] for d in parse_manifest(str(csv_m))
+                   if d["type"] == "local"]
+    assert spark.read.parquet(*local_paths).count() == 200
