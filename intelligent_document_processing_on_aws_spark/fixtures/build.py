@@ -93,7 +93,7 @@ def build_office(out_dir: str = FIXTURES_DIR, n: int = N_OFFICE) -> None:
     print(f"wrote office_docs/office_golden: {n} rows")
 
 
-N_REALPDF = 300
+N_REALPDF = 400
 
 
 def build_realpdf(out_dir: str = FIXTURES_DIR, n: int = N_REALPDF) -> None:

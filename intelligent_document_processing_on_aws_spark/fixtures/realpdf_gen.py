@@ -50,8 +50,24 @@ def _esc_literal(text: str, rng: random.Random) -> str:
 
 def _line_ops(text: str, x: float, y: float, rng: random.Random) -> str:
     """Render one line as a self-contained BT/ET block in a random mode."""
-    mode = rng.choice(("tj", "tj", "tj2", "tjarr", "hex", "tm"))
+    mode = rng.choice(("tj", "tj", "tj2", "tjarr", "tjgap", "hex", "tm"))
     words = text.split(" ")
+    if mode == "tjgap" and len(words) >= 2:
+        # inter-word spaces encoded ONLY as TJ word-gap adjustments
+        # (<= -180 thousandths); some words also sub-split with small
+        # kerns that must still concatenate.
+        parts: list[str] = []
+        for w, word in enumerate(words):
+            if w:
+                parts.append(str(-(200 + rng.randrange(400))))
+            if len(word) >= 4 and rng.random() < 0.3:
+                cut = 2 + rng.randrange(len(word) - 3)
+                parts.append(f"({_esc_literal(word[:cut], rng)})")
+                parts.append(str(-rng.randrange(20, 170)))
+                parts.append(f"({_esc_literal(word[cut:], rng)})")
+            else:
+                parts.append(f"({_esc_literal(word, rng)})")
+        return f"BT /F1 12 Tf {x:.1f} {y:.1f} Td [{' '.join(parts)}] TJ ET"
     if mode == "tj2" and len(words) >= 4:
         cut = 1 + rng.randrange(len(words) - 2)
         c1, c2 = " ".join(words[:cut]), " ".join(words[cut:])
@@ -68,7 +84,8 @@ def _line_ops(text: str, x: float, y: float, rng: random.Random) -> str:
             prev = c
         chunks.append(text[prev:])
         arr = " ".join(
-            f"({_esc_literal(c, rng)}) {-rng.randrange(20, 200)}" for c in chunks
+            # kerning-scale only (< WORD_GAP_TJ=180): must concatenate
+            f"({_esc_literal(c, rng)}) {-rng.randrange(20, 170)}" for c in chunks
         ).rsplit(" ", 1)[0]  # no trailing kern after last chunk
         return f"BT /F1 12 Tf {x:.1f} {y:.1f} Td [{arr}] TJ ET"
     if mode == "hex":
@@ -231,6 +248,16 @@ def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
     )
     objects[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
+    if rng.random() < 0.35:
+        out = _serialize_objstm_pdf(objects, next_num, rng)
+    else:
+        out = _serialize_classic_pdf(objects)
+    golden = [ln for pg in page_lines for ln in pg]
+    return bytes(out), golden
+
+
+def _serialize_classic_pdf(objects: dict[int, bytes]) -> bytes:
+    """PDF 1.4 form: every object top-level, classic xref table."""
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num in sorted(objects):
@@ -246,8 +273,87 @@ def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
         f"trailer\n<< /Size {size} /Root 1 0 R >>\nstartxref\n{xref_at}\n"
         "%%EOF\n"
     ).encode()
-    golden = [ln for pg in page_lines for ln in pg]
-    return bytes(out), golden
+    return bytes(out)
+
+
+def _png_predict_up(data: bytes, columns: int) -> bytes:
+    """PNG Up-filter encode (filter type 2 per row) — generator-side
+    twin of the kernel's png_unpredict, implemented independently."""
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), columns):
+        row = data[r:r + columns]
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(columns))
+        prev = row
+    return bytes(out)
+
+
+def _serialize_objstm_pdf(
+    objects: dict[int, bytes], next_num: int, rng: random.Random
+) -> bytes:
+    """PDF 1.5 form: every non-stream object (catalog, page tree, font,
+    page dicts, indirect /Length integers) is packed into a compressed
+    /Type /ObjStm; the cross-reference is a /Type /XRef stream with
+    W [1 4 2] entries (type-2 rows point into the ObjStm) encoded with
+    the PNG Up predictor — the layout virtually all post-2005 PDF
+    generators emit."""
+    objstm_num = next_num
+    xref_num = next_num + 1
+    pack_nums = sorted(n for n, b in objects.items() if b"stream" not in b)
+    pack = {n: objects.pop(n) for n in pack_nums}
+
+    bodies = [pack[n] + b"\n" for n in pack_nums]
+    offs: list[int] = []
+    data = bytearray()
+    for b in bodies:
+        offs.append(len(data))
+        data += b
+    header = (" ".join(f"{n} {o}" for n, o in zip(pack_nums, offs)) + "\n").encode()
+    first = len(header)
+    payload = header + bytes(data)
+    if rng.random() < 0.4:  # ObjStm itself predictor-encoded
+        cols = 8
+        payload += b" " * ((-len(payload)) % cols)  # pad: trailing ws is legal
+        comp = zlib.compress(_png_predict_up(payload, cols))
+        parms = f" /DecodeParms << /Predictor 12 /Columns {cols} >>"
+    else:
+        comp = zlib.compress(payload)
+        parms = ""
+    objects[objstm_num] = (
+        f"<< /Type /ObjStm /N {len(pack_nums)} /First {first} "
+        f"/Length {len(comp)} /Filter /FlateDecode{parms} >>".encode()
+        + b"\nstream\n" + comp + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    offsets[xref_num] = xref_at
+
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num in pack:
+            t, f2, f3 = 2, objstm_num, pack_nums.index(num)
+        else:
+            t, f2, f3 = 1, offsets[num], 0
+        rows.append(t)
+        rows += f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    xref_data = zlib.compress(_png_predict_up(bytes(rows), 7))
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+        f"/Root 1 0 R /Length {len(xref_data)} /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns 7 >> >>".encode()
+        + b"\nstream\n" + xref_data + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
 
 
 def gen_real_pdf(i: int) -> dict:

@@ -11,14 +11,24 @@ reading-order line clustering the span-based branch uses
 join contract: spans on a line joined with " ", lines with "\n", pages
 with "\n".
 
+PDF 1.5+ support: objects packed inside compressed object streams
+(``/Type /ObjStm`` — the default container for catalog/page/font dicts in
+most post-2005 PDFs) are inflated and merged into the object map before
+the page walk (expand_object_streams), including streams encoded with
+PNG row predictors (/DecodeParms /Predictor >= 10). Cross-reference
+streams need no parsing: the object scan is offset-table-free by design,
+so a /Type /XRef stream object is simply ignored.
+
 Deliberate scope (documented, tested):
 - text-extraction only: no rendering, fonts, images, or encryption;
 - glyph-width-exact x advances are not computed (no font metrics): each
   show operator emits one span at the current text-line origin, so
   reading order relies on explicit positioning operators — true for the
   overwhelming majority of generated PDFs, which position every run;
-- ``TJ`` array elements are concatenated directly (kerning numbers are
-  sub-word adjustments, not word gaps);
+- ``TJ`` kerning: small adjustments are sub-word kerns and concatenate;
+  an adjustment at or beyond ``WORD_GAP_TJ`` (180/1000 text-space units,
+  the conventional word-gap heuristic — TeX encodes inter-word spaces as
+  ~-333) renders as a single space;
 - embedded text carries no OCR uncertainty: confidence = 1.0.
 """
 
@@ -94,14 +104,56 @@ def page_object_numbers(objects: dict[int, bytes]) -> list[int]:
     return pages
 
 
-def _resolve_length(objects: dict[int, bytes], body: bytes) -> int | None:
-    m = re.search(rb"/Length\s+(\d+)\s+\d+\s+R", body)
-    if m:  # indirect ref: the target object body is a bare integer
+def _dict_int(objects: dict[int, bytes], body: bytes, key: bytes) -> int | None:
+    """Integer dict value, direct (``/N 12``) or indirect (``/N 5 0 R``
+    where object 5's body is a bare integer)."""
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R\b", body)
+    if m:
         ref_body = objects.get(int(m.group(1)))
-        m2 = re.match(rb"\s*(\d+)\s*$", ref_body or b"")
+        m2 = re.match(rb"\s*(\d+)\s*", ref_body or b"")
         return int(m2.group(1)) if m2 else None
-    m = re.search(rb"/Length\s+(\d+)", body)
+    m = re.search(rb"/" + key + rb"\s+(\d+)", body)
     return int(m.group(1)) if m else None
+
+
+def _resolve_length(objects: dict[int, bytes], body: bytes) -> int | None:
+    return _dict_int(objects, body, b"Length")
+
+
+def png_unpredict(data: bytes, predictor: int, columns: int) -> bytes:
+    """Reverse PNG row predictors (/DecodeParms /Predictor >= 10).
+
+    Each row is ``1 + columns`` bytes: a filter-type byte then the
+    filtered bytes (colors=1, 8 bits/component — the only shape PDF
+    generators emit for text/xref streams). Predictor < 10 is identity
+    (1 = no prediction; TIFF predictor 2 is not emitted for these).
+    """
+    if predictor < 10:
+        return data
+    rowlen = columns + 1
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data) - rowlen + 1, rowlen):
+        ft = data[r]
+        row = bytearray(data[r + 1:r + 1 + columns])
+        for i in range(columns):
+            a = row[i - 1] if i > 0 else 0  # left (already reconstructed)
+            b = prev[i]  # up
+            c = prev[i - 1] if i > 0 else 0  # upper-left
+            if ft == 1:
+                row[i] = (row[i] + a) & 0xFF
+            elif ft == 2:
+                row[i] = (row[i] + b) & 0xFF
+            elif ft == 3:
+                row[i] = (row[i] + (a + b) // 2) & 0xFF
+            elif ft == 4:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
 
 
 def content_stream(objects: dict[int, bytes], num: int) -> bytes:
@@ -131,9 +183,53 @@ def content_stream(objects: dict[int, bytes], num: int) -> bytes:
             raw = raw[:-2]
         elif raw.endswith(b"\n") or raw.endswith(b"\r"):
             raw = raw[:-1]
-    if re.search(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b", body[:start]):
+    head = body[:start]
+    if re.search(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b", head):
         raw = zlib.decompress(raw)
+        m = re.search(rb"/DecodeParms\s*<<([^>]*)>>", head)
+        if m:
+            parms = m.group(1)
+            pred = re.search(rb"/Predictor\s+(\d+)", parms)
+            cols = re.search(rb"/Columns\s+(\d+)", parms)
+            if pred:
+                raw = png_unpredict(
+                    raw, int(pred.group(1)),
+                    int(cols.group(1)) if cols else 1,
+                )
     return raw
+
+
+def expand_object_streams(objects: dict[int, bytes]) -> None:
+    """Unpack PDF 1.5 compressed object streams (``/Type /ObjStm``).
+
+    An ObjStm's decoded data is ``N`` pairs of integers (object number,
+    byte offset relative to /First) followed by the serialized object
+    bodies. Embedded objects are merged into the map with setdefault:
+    a same-numbered top-level definition wins, matching repair-mode
+    precedence (incremental updates append uncompressed redefinitions
+    at the end of the file). Role-matches the reference's PyMuPDF-backed
+    ingestion (lib/idp_common_pkg/idp_common/ocr/service.py:1144-1252),
+    which gets ObjStm handling from the library.
+    """
+    embedded: dict[int, bytes] = {}
+    for num, body in list(objects.items()):
+        if not re.search(rb"/Type\s*/ObjStm\b", body):
+            continue
+        try:
+            data = content_stream(objects, num)
+        except zlib.error:
+            continue
+        n_objs = _dict_int(objects, body, b"N")
+        first = _dict_int(objects, body, b"First")
+        if not data or not n_objs or first is None or first > len(data):
+            continue
+        ints = [int(x) for x in re.findall(rb"\d+", data[:first])]
+        pairs = list(zip(ints[0::2], ints[1::2]))[:n_objs]
+        for k, (objnum, off) in enumerate(pairs):
+            end = first + pairs[k + 1][1] if k + 1 < len(pairs) else len(data)
+            embedded[objnum] = data[first + off:end]
+    for num, body in embedded.items():
+        objects.setdefault(num, body)
 
 
 def page_content(objects: dict[int, bytes], page_num: int) -> bytes:
@@ -216,6 +312,31 @@ def _parse_hex_string(data: bytes, i: int) -> tuple[str, int]:
     if len(hexdigits) % 2:
         hexdigits += b"0"  # spec: odd final digit implies trailing 0
     return bytes.fromhex(hexdigits.decode("ascii")).decode("latin-1"), end + 1
+
+
+# TJ adjustments are thousandths of a text-space unit, positive = tighten
+# (moves the next glyph LEFT), negative = widen. A widening at or beyond
+# this magnitude is an encoded inter-word space (TeX and many print
+# drivers emit ~-250..-600 for spaces); smaller magnitudes are kerning.
+WORD_GAP_TJ = 180.0
+
+
+def _join_tj(arr: list) -> str:
+    """Join a TJ array's strings, rendering word-gap adjustments as a
+    single space; kerning-scale numbers concatenate. Gaps before the
+    first string or after the last produce nothing (no stray padding)."""
+    out: list[str] = []
+    pending_gap = False
+    for e in arr:
+        if isinstance(e, float):
+            if e <= -WORD_GAP_TJ:
+                pending_gap = True
+        elif isinstance(e, str) and not isinstance(e, _Name):
+            if pending_gap and out and not out[-1].endswith(" ") and not e.startswith(" "):
+                out.append(" ")
+            pending_gap = False
+            out.append(e)
+    return "".join(out)
 
 
 def text_spans(content: bytes, page: int) -> list[dict]:
@@ -320,7 +441,7 @@ def text_spans(content: bytes, page: int) -> list[dict]:
             elif op == b"TJ" and stack:
                 v = stack.pop()
                 if isinstance(v, list):
-                    show("".join(e for e in v if isinstance(e, str) and not isinstance(e, _Name)))
+                    show(_join_tj(v))
             elif op == b"'" and stack:
                 v = stack.pop()
                 ty -= tl
@@ -340,6 +461,7 @@ def text_spans(content: bytes, page: int) -> list[dict]:
 def extract_real_pdf(content: bytes) -> ExtractionResult:
     """Full-document text extraction for a genuine %PDF byte stream."""
     objects = scan_objects(content)
+    expand_object_streams(objects)
     spans: list[dict] = []
     for idx, pnum in enumerate(page_object_numbers(objects), start=1):
         spans.extend(text_spans(page_content(objects, pnum), idx))

@@ -155,9 +155,198 @@ def test_corrupt_pdfs_contained():
 
 
 def test_scan_objects_ignores_stale_xref():
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        expand_object_streams,
+    )
+
     rec = gen_real_pdf(3)
     objs = scan_objects(rec["html"])
-    assert 1 in objs and 2 in objs  # catalog + pages found by linear scan
+    expand_object_streams(objs)
+    # catalog + pages reachable by linear scan (+ ObjStm expansion when
+    # the fixture drew the 1.5 layout), never via xref offsets
+    assert 1 in objs and 2 in objs
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5: object streams, xref streams, predictors (round-3 additions)
+# ---------------------------------------------------------------------------
+
+
+def _objstm_pdf(packed: bytes, n: int, first: int, extra_head: bytes = b"",
+                content: bytes = b"BT 72 700 Td (packed ok) Tj ET") -> bytes:
+    """Minimal PDF whose catalog/pages/page dicts live only in an ObjStm."""
+    return (
+        b"%PDF-1.5\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /ObjStm /N " + str(n).encode() + b" /First "
+        + str(first).encode() + b" /Length " + str(len(packed)).encode()
+        + extra_head + b" >>\nstream\n" + packed + b"\nendstream\nendobj\n"
+        b"startxref\n0\n%%EOF\n"
+    )
+
+
+def _objstm_payload() -> tuple[bytes, int, int]:
+    bodies = [
+        b"<< /Type /Catalog /Pages 2 0 R >>\n",
+        b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\n",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n",
+    ]
+    offs, data = [], b""
+    for b in bodies:
+        offs.append(len(data))
+        data += b
+    header = (" ".join(f"{n} {o}" for n, o in zip((1, 2, 3), offs)) + "\n").encode()
+    return header + data, 3, len(header)
+
+
+def test_objstm_raw_payload_pages_found():
+    payload, n, first = _objstm_payload()
+    pdf = _objstm_pdf(payload, n, first)
+    assert extract_real_pdf(pdf).extracted_text == "packed ok"
+
+
+def test_objstm_flate_payload():
+    payload, n, first = _objstm_payload()
+    pdf = _objstm_pdf(zlib.compress(payload), n, first,
+                      extra_head=b" /Filter /FlateDecode")
+    assert extract_real_pdf(pdf).extracted_text == "packed ok"
+
+
+def test_objstm_predictor_payload():
+    from intelligent_document_processing_on_aws_spark.fixtures.realpdf_gen import (
+        _png_predict_up,
+    )
+
+    payload, n, first = _objstm_payload()
+    cols = 8
+    payload += b" " * ((-len(payload)) % cols)
+    enc = zlib.compress(_png_predict_up(payload, cols))
+    pdf = _objstm_pdf(
+        enc, n, first,
+        extra_head=(b" /Filter /FlateDecode /DecodeParms "
+                    b"<< /Predictor 12 /Columns 8 >>"),
+    )
+    assert extract_real_pdf(pdf).extracted_text == "packed ok"
+
+
+def test_objstm_toplevel_definition_wins():
+    """Repair-mode precedence: a top-level redefinition (incremental
+    update) shadows the same-numbered ObjStm copy."""
+    payload, n, first = _objstm_payload()
+    pdf = _objstm_pdf(payload, n, first)
+    # append an updated page 3 pointing at a new content stream 6
+    newc = b"BT 72 700 Td (updated) Tj ET"
+    pdf += (
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n"
+        b"6 0 obj\n<< /Length " + str(len(newc)).encode() + b" >>\nstream\n"
+        + newc + b"\nendstream\nendobj\n"
+    )
+    assert extract_real_pdf(pdf).extracted_text == "updated"
+
+
+def test_objstm_corrupt_contained():
+    """Truncated/garbage ObjStm payloads degrade, never crash."""
+    payload, n, first = _objstm_payload()
+    for bad in (
+        _objstm_pdf(zlib.compress(payload)[:5], n, first,
+                    extra_head=b" /Filter /FlateDecode"),  # truncated flate
+        _objstm_pdf(payload, n, 10 ** 6),  # /First beyond data
+        _objstm_pdf(b"", 0, 0),  # empty
+    ):
+        ctype, res, err = extract_page_safe(bad)
+        assert ctype in ("pdf", "error")
+
+
+def test_png_unpredict_all_filter_types():
+    """Kernel decode inverts an independent encoder for every PNG filter
+    type (0,1,2,3,4), per-row."""
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        png_unpredict,
+    )
+
+    raw = bytes(range(7, 47))  # 5 rows x 8 cols
+    cols = 8
+    rows = [raw[r:r + cols] for r in range(0, len(raw), cols)]
+    enc = bytearray()
+    prev = bytes(cols)
+    for ft, row in zip((0, 1, 2, 3, 4), rows):
+        enc.append(ft)
+        for i in range(cols):
+            a = row[i - 1] if i > 0 else 0
+            b = prev[i]
+            c = prev[i - 1] if i > 0 else 0
+            if ft == 0:
+                v = row[i]
+            elif ft == 1:
+                v = (row[i] - a) & 0xFF
+            elif ft == 2:
+                v = (row[i] - b) & 0xFF
+            elif ft == 3:
+                v = (row[i] - (a + b) // 2) & 0xFF
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                v = (row[i] - pred) & 0xFF
+            enc.append(v)
+        prev = row
+    assert png_unpredict(bytes(enc), 12, cols) == raw
+    assert png_unpredict(raw, 1, cols) == raw  # predictor 1 = identity
+
+
+def test_objstm_fixture_family_present_and_green():
+    """The committed corpus actually exercises the 1.5 layout: a healthy
+    share of fixtures are ObjStm/XRef-stream files, and every one
+    extracts byte-identical to its construction golden."""
+    n_objstm = 0
+    for i in range(0, 400, 7):
+        rec = gen_real_pdf(i)
+        if b"/ObjStm" in rec["html"]:
+            n_objstm += 1
+            assert b"/Type /XRef" in rec["html"]
+            assert rec["html"].startswith(b"%PDF-1.5")
+            res = extract_real_pdf(rec["html"])
+            assert res.extracted_text == rec["extracted_text"], f"doc {i}"
+    assert n_objstm >= 10
+
+
+# ---------------------------------------------------------------------------
+# TJ word-gap heuristic (round-3)
+# ---------------------------------------------------------------------------
+
+
+def test_tj_word_gap_differential_vs_explicit_spaces():
+    """A PDF encoding inter-word spaces ONLY via TJ adjustments extracts
+    byte-identical to its explicit-space twin."""
+    gap_ops = b"BT /F1 12 Tf 72 700 Td [(alpha) -333 (beta) -250 (gamma)] TJ ET"
+    explicit_ops = b"BT /F1 12 Tf 72 700 Td (alpha beta gamma) Tj ET"
+    assert _spans_text(gap_ops) == _spans_text(explicit_ops) == ["alpha beta gamma"]
+
+
+def test_tj_small_kerns_still_concatenate():
+    ops = b"BT 72 700 Td [(ke) -30 (rn) -179 (ed)] TJ ET"
+    assert _spans_text(ops) == ["kerned"]
+
+
+def test_tj_gap_threshold_boundary():
+    ops = b"BT 72 700 Td [(a) -180 (b)] TJ ET"
+    assert _spans_text(ops) == ["a b"]
+    ops = b"BT 72 700 Td [(a) -179.9 (b)] TJ ET"
+    assert _spans_text(ops) == ["ab"]
+
+
+def test_tj_gap_no_stray_padding():
+    """Leading/trailing adjustments and explicit spaces never double up."""
+    ops = b"BT 72 700 Td [-400 (a ) -400 ( b) -400] TJ ET"
+    assert _spans_text(ops) == ["a  b"]  # explicit spaces kept, no extra
+    ops2 = b"BT 72 700 Td [(a) -400 (b) -500] TJ ET"
+    assert _spans_text(ops2) == ["a b"]
+
+
+def test_tj_positive_adjustments_never_gap():
+    ops = b"BT 72 700 Td [(a) 400 (b)] TJ ET"
+    assert _spans_text(ops) == ["ab"]
 
 
 # ---------------------------------------------------------------------------
