@@ -12,9 +12,11 @@ Four families, each designed for 100 TB shape:
 - minhash_lsh_pairs: per-doc MinHash signature (Arrow-batched pure kernel),
   banded-LSH bucket keys exploded -> bucket join -> candidate pairs ->
   exact Jaccard verify. The scale path: candidate generation is linear in
-  corpus size, verification only touches candidates.
+  corpus size, verification only touches candidates. Degenerate buckets
+  are df-capped (DEFAULT_MAX_BUCKET) so one hot band key can never make
+  the self-join quadratic.
 - simhash_pairs: 64-bit SimHash, 4x16-bit band blocking -> candidates ->
-  exact Hamming filter via native bit ops.
+  exact Hamming filter via native bit ops; same bucket df-cap.
 
 All emit (doc_id_a, doc_id_b) with doc_id_a < doc_id_b.
 """
@@ -117,22 +119,50 @@ MINHASH_SCHEMA = T.StructType(
     ]
 )
 
+# Cap on how many documents may share one LSH band key / SimHash chunk
+# before the bucket is excluded from candidate generation. A degenerate
+# bucket (thousands of near-identical template pages sharing a band —
+# routine in web corpora even after exact dedup) makes the bucket
+# self-join quadratic in bucket size; the cap bounds per-bucket fan-out
+# at max_bucket^2 regardless of corpus size, the same discipline as the
+# shingle max_df above. Members of a dropped bucket can still pair via
+# their other bands/chunks (8 bands / 4 chunks per doc).
+DEFAULT_MAX_BUCKET = 500
 
-def minhash_lsh_pairs(
+
+def _cap_buckets(
+    df: DataFrame, key_cols: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop rows whose key appears in more than max_bucket rows."""
+    if max_bucket is None:
+        return df
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("_bdf"))
+    return (
+        df.join(counts.where(F.col("_bdf") <= max_bucket), key_cols)
+        .drop("_bdf")
+    )
+
+
+def lsh_dropped_buckets(
+    band_df: DataFrame, key_cols: list[str], max_bucket: int = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """Diagnostic: (key..., df) for buckets the cap excludes. Jobs log
+    its count so a skewed corpus is visible, never silently truncated."""
+    return (
+        band_df.groupBy(*key_cols)
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_bucket)
+    )
+
+
+def minhash_band_df(
     docs: DataFrame,
-    threshold: float = 0.8,
     num_perm: int = 32,
     bands: int = 8,
     k: int = 3,
     text_col: str = "text",
 ) -> DataFrame:
-    """Banded MinHash-LSH candidates verified by exact Jaccard.
-
-    With 32 perms / 8 bands (4 rows per band) the candidate-probability
-    curve crosses ~0.5 at j ~= (1/8)^(1/4) ~= 0.59 — high recall at
-    j >= 0.8. Candidate generation: one explode + one groupBy-join on
-    band_key; verification re-computes exact Jaccard only on candidates.
-    """
+    """(doc_id, band_key) — one row per doc per LSH band."""
 
     def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -144,7 +174,34 @@ def minhash_lsh_pairs(
                     keys.append(bk)
             yield pd.DataFrame({"doc_id": ids, "band_key": keys})
 
-    band_df = docs.select("doc_id", text_col).mapInPandas(sigs, MINHASH_SCHEMA)
+    return docs.select("doc_id", text_col).mapInPandas(sigs, MINHASH_SCHEMA)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    text_col: str = "text",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Banded MinHash-LSH candidates verified by exact Jaccard.
+
+    With 32 perms / 8 bands (4 rows per band) the candidate-probability
+    curve crosses ~0.5 at j ~= (1/8)^(1/4) ~= 0.59 — high recall at
+    j >= 0.8. Candidate generation: one explode + one groupBy-join on
+    band_key; verification re-computes exact Jaccard only on candidates.
+
+    max_bucket (ON by default) drops band keys shared by more than
+    max_bucket docs before the self-join — see DEFAULT_MAX_BUCKET. Pass
+    max_bucket=None for uncapped semantics at small scale; use
+    lsh_dropped_buckets(minhash_band_df(docs), ["band_key"]) to audit
+    what a cap would drop.
+    """
+    band_df = minhash_band_df(docs, num_perm=num_perm, bands=bands, k=k,
+                              text_col=text_col)
+    band_df = _cap_buckets(band_df, ["band_key"], max_bucket)
     a = band_df.alias("a")
     b = band_df.alias("b")
     candidates = (
@@ -194,15 +251,10 @@ def simhash_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", text_col).mapInPandas(run, SIMHASH_SCHEMA)
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  text_col: str = "text") -> DataFrame:
-    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
-
-    Band blocking: 4x16-bit chunks — any pair within Hamming<=3 shares at
-    least one exact chunk (pigeonhole), so candidates = chunk-equality
-    joins; exact filter via native xor+bit_count."""
+def simhash_chunks_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash, band, chunk) — 4x16-bit pigeonhole blocking keys."""
     sh = simhash_df(docs, text_col)
-    chunks = sh.select(
+    return sh.select(
         "doc_id", "simhash",
         F.explode(
             F.array(*[
@@ -214,6 +266,24 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             ])
         ).alias("bc"),
     ).select("doc_id", "simhash", "bc.band", "bc.chunk")
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text",
+                  max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Band blocking: 4x16-bit chunks — any pair within Hamming<=3 shares at
+    least one exact chunk (pigeonhole), so candidates = chunk-equality
+    joins; exact filter via native xor+bit_count.
+
+    max_bucket (ON by default) drops (band, chunk) keys shared by more
+    than max_bucket docs before the self-join — see DEFAULT_MAX_BUCKET;
+    max_bucket=None restores uncapped semantics, and
+    lsh_dropped_buckets(simhash_chunks_df(docs), ["band", "chunk"])
+    audits what a cap would drop."""
+    chunks = simhash_chunks_df(docs, text_col)
+    chunks = _cap_buckets(chunks, ["band", "chunk"], max_bucket)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -38,8 +38,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from intelligent_document_processing_on_aws_spark.operators import textstats as ts  # noqa: E402
 from intelligent_document_processing_on_aws_spark.operators.dedup import (  # noqa: E402
+    DEFAULT_MAX_BUCKET,
     duplicate_groups,
     exact_dedup,
+    lsh_dropped_buckets,
+    minhash_band_df,
     minhash_lsh_pairs,
 )
 from intelligent_document_processing_on_aws_spark.session import get_spark  # noqa: E402
@@ -88,6 +91,15 @@ def main() -> int:
     survivors.write.mode("overwrite").parquet(os.path.join(args.output, "survivors"))
     survivors = spark.read.parquet(os.path.join(args.output, "survivors"))
     n_exact = survivors.count()
+
+    # surface (never silently truncate) buckets the LSH df-cap excludes
+    n_dropped_buckets = lsh_dropped_buckets(
+        minhash_band_df(survivors), ["band_key"], DEFAULT_MAX_BUCKET
+    ).count()
+    if n_dropped_buckets:
+        print(f"[curate] LSH df-cap excluded {n_dropped_buckets} "
+              f"degenerate band buckets (> {DEFAULT_MAX_BUCKET} docs each)",
+              file=sys.stderr)
 
     pairs = minhash_lsh_pairs(survivors, threshold=args.near_dup_threshold)
     groups = duplicate_groups(survivors, pairs)

@@ -91,6 +91,64 @@ def test_minhash_lsh_finds_true_pairs(spark, docs_df):
     assert got == truth
 
 
+def test_lsh_bucket_cap_bounds_degenerate_bucket(spark):
+    """A planted degenerate bucket (many identical template docs sharing
+    every band key) is excluded by the df-cap: candidate generation stays
+    bounded instead of going quadratic, while distinct near-dup pairs
+    outside the hot bucket are still found."""
+    from intelligent_document_processing_on_aws_spark.operators.dedup import (
+        lsh_dropped_buckets,
+        minhash_band_df,
+        simhash_chunks_df,
+    )
+
+    template = "breaking news site navigation copyright footer " * 4
+    rows = [(i, template) for i in range(40)]  # degenerate: 40 identical docs
+    # the outside-the-hot-bucket pair: exact dup (jaccard 1.0, hamming 0)
+    # so both LSH families must recover it regardless of banding draw
+    unique = "a genuinely unique document about mountain hiking trails " * 5
+    rows += [(100, unique), (101, unique)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # cap of 10 excludes the 40-doc bucket entirely
+    got = {(r.doc_id_a, r.doc_id_b) for r in
+           minhash_lsh_pairs(docs, threshold=0.8, max_bucket=10).collect()}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got), "hot-bucket pairs must be dropped"
+
+    # the diagnostic surfaces exactly the hot band keys
+    dropped = lsh_dropped_buckets(minhash_band_df(docs), ["band_key"], 10)
+    assert dropped.count() == 8  # all 8 bands of the template are hot
+    assert all(r.df == 40 for r in dropped.collect())
+
+    # uncapped (max_bucket=None) still returns the quadratic truth
+    uncapped = minhash_lsh_pairs(docs, threshold=0.8, max_bucket=None).count()
+    assert uncapped == 40 * 39 // 2 + 1
+
+    # simhash: same planted bucket, same containment
+    got_sh = {(r.doc_id_a, r.doc_id_b) for r in
+              simhash_pairs(docs, max_hamming=3, max_bucket=10).collect()}
+    assert (100, 101) in got_sh
+    assert all(a >= 100 for a, _ in got_sh)
+    dropped_sh = lsh_dropped_buckets(simhash_chunks_df(docs), ["band", "chunk"], 10)
+    assert dropped_sh.count() == 4  # all 4 chunks of the template hash
+
+
+def test_lsh_default_cap_preserves_fixture_recall(spark, docs_df):
+    """DEFAULT_MAX_BUCKET leaves results identical on a non-degenerate
+    corpus (no bucket anywhere near the cap)."""
+    capped = {(r.doc_id_a, r.doc_id_b) for r in
+              minhash_lsh_pairs(docs_df, threshold=0.8).collect()}
+    uncapped = {(r.doc_id_a, r.doc_id_b) for r in
+                minhash_lsh_pairs(docs_df, threshold=0.8, max_bucket=None).collect()}
+    assert capped == uncapped
+    capped_sh = {(r.doc_id_a, r.doc_id_b) for r in
+                 simhash_pairs(docs_df, max_hamming=3).collect()}
+    uncapped_sh = {(r.doc_id_a, r.doc_id_b) for r in
+                   simhash_pairs(docs_df, max_hamming=3, max_bucket=None).collect()}
+    assert capped_sh == uncapped_sh
+
+
 def test_minhash_signature_similarity_estimate():
     """signature agreement approximates jaccard (property of MinHash)."""
     a = "the quick brown fox jumps over the lazy dog " * 5
