@@ -90,6 +90,32 @@ def test_hungarian_solver_optimal():
         assert got == best
 
 
+def test_hungarian_kernel_matches_brute_force_golden():
+    """Every fixture section's (tp, fp, avg) from the O(n^3) kernel equals
+    the fixture builder's exhaustive-enumeration derivation — including
+    the avg float bit pattern (same multiset, same summation order)."""
+    from intelligent_document_processing_on_aws_spark.fixtures.packets_gen import (
+        _brute_force_hungarian,
+        _hungarian_side,
+        gen_packet,
+        perturb_attributes,
+    )
+
+    checked = 0
+    for d in range(60):
+        pk = gen_packet(d)
+        for s in pk["sections"]:
+            actual = perturb_attributes(d, s["section_id"], s["attributes"])
+            evs = _hungarian_side(s["attributes"])
+            avs = _hungarian_side(actual)
+            if not evs and not avs:
+                continue
+            assert compare_hungarian(evs, avs, "FUZZY", 0.8) == \
+                _brute_force_hungarian(evs, avs)
+            checked += 1
+    assert checked >= 20
+
+
 def test_hungarian_compare_semantics():
     tp, fp, avg = compare_hungarian(["a", "b", "c"], ["c", "a", "b"], "EXACT", 0.8)
     assert (tp, fp) == (3, 0) and avg == 1.0
