@@ -162,6 +162,17 @@ def build_ocrblocks(out_dir: str = FIXTURES_DIR, n: int = N_OCRBLOCKS) -> None:
     print(f"wrote ocrblocks_docs/ocrblocks_golden: {n} rows")
 
 
+def build_semantic(out_dir: str = FIXTURES_DIR, n: int = N_PACKETS) -> None:
+    from .semantic_gen import semantic_tables
+
+    for name, rows in semantic_tables(n).items():
+        cols = list(rows[0].keys())
+        table = pa.Table.from_pydict({c: [r[c] for r in rows] for c in cols})
+        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"),
+                       compression="zstd")
+        print(f"wrote {name}: {len(rows)} rows")
+
+
 N_SUMMARY = 120
 
 
@@ -189,6 +200,7 @@ def build(out_dir: str = FIXTURES_DIR) -> None:
     build_csv(out_dir)
     build_summaries(out_dir)
     build_ocrblocks(out_dir)
+    build_semantic(out_dir)
 
 
 if __name__ == "__main__":

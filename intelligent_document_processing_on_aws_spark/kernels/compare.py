@@ -98,6 +98,55 @@ def compare_fuzzy(expected: Any, actual: Any, threshold: float = 0.8) -> tuple[b
     return score >= threshold, score
 
 
+def cosine_similarity(v1: list[float] | None, v2: list[float] | None) -> float:
+    """Reference cosine (evaluation/comparator.py:372-404): mismatched
+    lengths trim to the shorter vector BEFORE magnitudes; empty or
+    zero-magnitude input -> 0.0; sequential left-to-right sums."""
+    if not v1 or not v2:
+        return 0.0
+    if len(v1) != len(v2):
+        n = min(len(v1), len(v2))
+        v1, v2 = v1[:n], v2[:n]
+    dot = 0.0
+    m1 = 0.0
+    m2 = 0.0
+    for a, b in zip(v1, v2):
+        dot += a * b
+        m1 += a * a
+        m2 += b * b
+    import math
+
+    m1, m2 = math.sqrt(m1), math.sqrt(m2)
+    if m1 == 0 or m2 == 0:
+        return 0.0
+    return dot / (m1 * m2)
+
+
+def compare_semantic(
+    expected: Any,
+    actual: Any,
+    expected_vec: list[float] | None,
+    actual_vec: list[float] | None,
+    threshold: float = 0.8,
+) -> tuple[bool, float]:
+    """SEMANTIC comparison over SUPPLIED embedding vectors — the
+    deterministic core of the reference's compare_semantic
+    (evaluation/comparator.py:406-476) with the remote Bedrock embedding
+    call replaced by caller-provided vectors (a value->embedding lookup
+    table). Missing/empty vectors fall back to FUZZY, exactly the
+    reference's failed-embedding path (:458-462)."""
+    if expected is None and actual is None:
+        return True, 1.0
+    if _is_empty(expected) and _is_empty(actual):
+        return True, 1.0
+    if expected is None or actual is None:
+        return False, 0.0
+    if not expected_vec or not actual_vec:
+        return compare_fuzzy(expected, actual, threshold)
+    similarity = cosine_similarity(expected_vec, actual_vec)
+    return similarity >= threshold, similarity
+
+
 # ---------------------------------------------------------------------------
 # Hungarian (Kuhn-Munkres with potentials, O(n^3)), rectangular via padding.
 # ---------------------------------------------------------------------------

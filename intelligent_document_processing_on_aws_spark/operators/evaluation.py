@@ -98,12 +98,22 @@ def evaluate_attributes(
     expected_flat: DataFrame,
     actual_flat: DataFrame,
     eval_config: DataFrame,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Aligned + counted per-attribute rows.
 
     eval_config: (classification, norm_path, method, threshold) — broadcast.
     Output adds: method, threshold, score, tn, fp, fn, tp, fp1, fp2.
-    """
+
+    embeddings (optional): (text, embedding array<double>) value->vector
+    lookup enabling the SEMANTIC method (comparator.py:406-476) with the
+    reference's remote Bedrock embedding call replaced by this supplied
+    table. Cosine is a pure Catalyst expression (zip_with + aggregate +
+    sqrt — no Python), trimming to the shorter vector and returning 0.0
+    on zero magnitude exactly like the reference; values missing from the
+    table fall back to FUZZY (the reference's failed-embedding path).
+    Without the table, SEMANTIC rows use the FUZZY fallback throughout
+    (the remote embedding service is out of scope)."""
     e = expected_flat.select(
         "doc_id", "section_id",
         F.col("classification").alias("e_cls"),
@@ -136,6 +146,19 @@ def evaluate_attributes(
     joined = joined.withColumn("method", F.coalesce("method", F.lit("EXACT")))
     joined = joined.withColumn("threshold", F.coalesce("threshold", F.lit(0.8)))
 
+    if embeddings is not None:
+        emb_e = embeddings.select(
+            F.col("text").alias("expected"), F.col("embedding").alias("e_vec")
+        )
+        emb_a = embeddings.select(
+            F.col("text").alias("actual"), F.col("embedding").alias("a_vec")
+        )
+        joined = joined.join(emb_e, "expected", "left").join(emb_a, "actual", "left")
+    else:
+        joined = joined.withColumn(
+            "e_vec", F.lit(None).cast("array<double>")
+        ).withColumn("a_vec", F.lit(None).cast("array<double>"))
+
     exp, act = F.col("expected"), F.col("actual")
     ne, na = norm_exact(exp), norm_exact(act)
     nne, nna = norm_numeric(exp), norm_numeric(act)
@@ -151,14 +174,33 @@ def evaluate_attributes(
         (F.length(ne) == 0) | (F.length(na) == 0), F.lit(0.0)
     ).otherwise(1.0 - F.levenshtein(ne, na) / max_len)
 
+    # SEMANTIC: cosine over supplied vectors, trimmed to the shorter one
+    # (comparator.py:372-404); native fold — no Python in the hot path
+    tv1 = F.expr("slice(e_vec, 1, least(size(e_vec), size(a_vec)))")
+    tv2 = F.expr("slice(a_vec, 1, least(size(e_vec), size(a_vec)))")
+    dot = F.aggregate(
+        F.zip_with(tv1, tv2, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    mag1 = F.sqrt(F.aggregate(tv1, F.lit(0.0), lambda acc, x: acc + x * x))
+    mag2 = F.sqrt(F.aggregate(tv2, F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = F.when((mag1 == 0.0) | (mag2 == 0.0), F.lit(0.0)).otherwise(
+        dot / (mag1 * mag2)
+    )
+    # vectors present and non-empty -> cosine; else FUZZY fallback
+    # (reference's failed-embedding path, comparator.py:458-462)
+    sem_ok = (F.size("e_vec") > 0) & (F.size("a_vec") > 0)
+    sem_score = F.when(sem_ok, cos).otherwise(sim)
+
     method = F.col("method")
     matched = (
         F.when(method == "NUMERIC_EXACT", numeric_eq)
         .when(method == "FUZZY", sim >= F.col("threshold"))
+        .when(method == "SEMANTIC", sem_score >= F.col("threshold"))
         .otherwise(exact_eq)
     )
     score = (
         F.when(method == "FUZZY", sim)
+        .when(method == "SEMANTIC", sem_score)
         .otherwise(F.when(matched, 1.0).otherwise(0.0))
     )
 
@@ -179,7 +221,7 @@ def evaluate_attributes(
         .otherwise(score)
         .alias("score"),
     )
-    return counted
+    return counted.drop("e_vec", "a_vec")
 
 
 def _metric_exprs():

@@ -90,6 +90,65 @@ def test_hungarian_solver_optimal():
         assert got == best
 
 
+def test_cosine_similarity_reference_semantics():
+    from intelligent_document_processing_on_aws_spark.kernels.compare import (
+        cosine_similarity,
+    )
+
+    assert cosine_similarity([1.0, 0.0], [1.0, 0.0]) == 1.0
+    assert cosine_similarity([1.0, 0.0], [0.0, 1.0]) == 0.0
+    assert cosine_similarity([], [1.0]) == 0.0
+    assert cosine_similarity(None, [1.0]) == 0.0
+    assert cosine_similarity([0.0, 0.0], [1.0, 1.0]) == 0.0  # zero magnitude
+    # mismatched lengths trim to the shorter BEFORE magnitudes
+    assert cosine_similarity([1.0, 0.0, 9.0], [1.0, 0.0]) == 1.0
+
+
+def test_compare_semantic_fallback_and_empty_rules():
+    from intelligent_document_processing_on_aws_spark.kernels.compare import (
+        compare_fuzzy,
+        compare_semantic,
+    )
+
+    assert compare_semantic(None, None, None, None) == (True, 1.0)
+    assert compare_semantic(" ", "", [1.0], [1.0]) == (True, 1.0)
+    assert compare_semantic("a", None, [1.0], None) == (False, 0.0)
+    # missing/empty vector -> FUZZY fallback (comparator.py:458-462)
+    assert compare_semantic("color", "colour", None, [1.0]) == \
+        compare_fuzzy("color", "colour")
+    assert compare_semantic("color", "colour", [], [1.0]) == \
+        compare_fuzzy("color", "colour")
+    # vectors present -> cosine governs
+    ok, score = compare_semantic("x", "y", [1.0, 0.0], [0.5, 0.0], 0.8)
+    assert ok and score == 1.0
+
+
+def test_semantic_spark_matches_kernel_golden(spark, fixtures_dir):
+    """Native zip_with/aggregate cosine == pure-kernel golden, bitwise
+    (1/64-quantized components make the sums exact), and the plan has no
+    row-at-a-time Python."""
+    from intelligent_document_processing_on_aws_spark.entry_queries import (
+        q_eval_semantic,
+    )
+
+    df = q_eval_semantic(spark, "")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    got = {(r.doc_id, r.section_id, r.attr_path):
+           (r.score, r.tn, r.fp, r.fn, r.tp, r.fp1, r.fp2)
+           for r in df.collect()}
+    import pyarrow.parquet as pq_
+
+    gold = pq_.read_table(
+        f"{fixtures_dir}/golden_semantic.parquet"
+    ).to_pylist()
+    assert len(got) == len(gold) > 500
+    for r in gold:
+        assert got[(r["doc_id"], r["section_id"], r["attr_path"])] == (
+            r["score"], r["tn"], r["fp"], r["fn"], r["tp"], r["fp1"], r["fp2"]
+        ), r
+
+
 def test_hungarian_kernel_matches_brute_force_golden():
     """Every fixture section's (tp, fp, avg) from the O(n^3) kernel equals
     the fixture builder's exhaustive-enumeration derivation — including
