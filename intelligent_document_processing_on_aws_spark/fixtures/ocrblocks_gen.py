@@ -6,7 +6,10 @@ geometry) exercising the ``to_markdown`` analog in kernels/textract_blocks:
 prose lines, pipe-bearing cells, merged (spanned) cells, table-row LINEs
 that duplicate cell words (must be dropped), interleaved geometry (blocks
 emitted lines-first then tables; reading order must come from the boxes,
-not list order), table-only pages, and empty pages.
+not list order), table-only pages, empty pages, and KEY_VALUE_SET form
+pairs (FeatureTypes=FORMS shape: KEY/VALUE EntityTypes, VALUE
+relationships, empty values, plus the duplicate prose LINE Textract also
+emits over the same words — must be dropped).
 
 The golden markdown is assembled by this generator's own walk of the
 template items in construction order — the kernel never runs here; the one
@@ -72,7 +75,47 @@ def gen_ocrblocks_doc(i: int) -> dict:
 
     force_table = r < 0.12 and rng.random() < 0.7
     for k in range(n_items):
-        is_table = force_table if n_items == 1 else rng.random() < 0.3
+        kind_draw = rng.random()
+        is_table = force_table if n_items == 1 else kind_draw < 0.3
+        is_form = not is_table and n_items > 1 and kind_draw >= 0.78
+        if is_form:
+            # -- FORMS: 1-3 KEY_VALUE_SET pairs + the duplicate prose LINE
+            # Textract also emits over the same words (must be dropped)
+            for _ in range(1 + rng.randrange(3)):
+                key_text = _words(rng, 1, 2)
+                empty_val = rng.random() < 0.15
+                val_text = "" if empty_val else _words(rng, 1, 3)
+                kw_blocks, kw_ids = _word_blocks(ids, key_text)
+                lines.extend(kw_blocks)
+                vrel: list[dict] = []
+                dup_wids = list(kw_ids)
+                dup_texts = [key_text]
+                if not empty_val:
+                    vw_blocks, vw_ids = _word_blocks(ids, val_text)
+                    lines.extend(vw_blocks)
+                    vid = ids.next("v")
+                    lines.append({
+                        "BlockType": "KEY_VALUE_SET", "Id": vid,
+                        "EntityTypes": ["VALUE"],
+                        "Relationships": [{"Type": "CHILD", "Ids": vw_ids}],
+                    })
+                    vrel = [{"Type": "VALUE", "Ids": [vid]}]
+                    dup_wids.extend(vw_ids)
+                    dup_texts.append(val_text)
+                lines.append({
+                    "BlockType": "KEY_VALUE_SET", "Id": ids.next("k"),
+                    "EntityTypes": ["KEY"], "Geometry": _bbox(top),
+                    "Relationships": [{"Type": "CHILD", "Ids": kw_ids}] + vrel,
+                })
+                lines.append({
+                    "BlockType": "LINE", "Id": ids.next("l"),
+                    "Text": " ".join(dup_texts), "Geometry": _bbox(top),
+                    "Relationships": [{"Type": "CHILD", "Ids": dup_wids}],
+                })
+                golden_items.append(f"**{key_text}:** {val_text}".rstrip())
+                golden_kinds.append("line")
+                top += 0.03
+            continue
         if not is_table:
             text = _words(rng, 3, 8)
             wblocks, wids = _word_blocks(ids, text)

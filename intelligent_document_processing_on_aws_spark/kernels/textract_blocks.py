@@ -22,6 +22,12 @@ from-scratch deterministic analog over the same block model:
   prose), and page items — surviving lines + tables — emit in reading
   order by (top, left) of their bounding boxes, matching the geometric
   sort used for PDF spans (kernels/pdf_layout.reading_order_lines).
+- KEY_VALUE_SET form pairs (FeatureTypes=FORMS, requested by the
+  reference at ocr/service.py:1078-1083): a KEY-entity block's child
+  words form the label, its VALUE relationship points at VALUE-entity
+  blocks whose child words form the value; rendered as ``**key:** value``
+  lines (textractor's form rendering) at the KEY's geometry, with the
+  claimed-word LINE dedup extended to form words.
 
 Pure functions over plain dicts: executed only inside Arrow-batched
 mapInPandas, never per-row Python in a Spark plan.
@@ -112,6 +118,29 @@ def blocks_to_markdown(blocks: list[dict]) -> str:
                 claimed_words.update(_child_ids(cell))
 
     items: list[tuple[tuple[float, float], str, str]] = []
+    # FORMS: KEY_VALUE_SET pairs -> "**key:** value" lines; their words are
+    # claimed so the duplicate prose LINEs Textract also emits are dropped
+    for b in blocks:
+        if b.get("BlockType") != "KEY_VALUE_SET":
+            continue
+        if "KEY" not in (b.get("EntityTypes") or []):
+            continue
+        key_text = _cell_text(b, by_id)
+        vals: list[str] = []
+        for rel in b.get("Relationships") or []:
+            if rel.get("Type") == "VALUE":
+                for vid in rel.get("Ids") or []:
+                    v = by_id.get(vid)
+                    if v:
+                        t = _cell_text(v, by_id)
+                        if t:
+                            vals.append(t)
+                        claimed_words.update(_child_ids(v))
+        claimed_words.update(_child_ids(b))
+        if key_text:
+            items.append(
+                (_top_left(b), "line", f"**{key_text}:** {' '.join(vals)}".rstrip())
+            )
     for b in blocks:
         if b.get("BlockType") == "LINE" and b.get("Text"):
             wids = _child_ids(b)

@@ -269,6 +269,41 @@ def test_textract_blocks_reading_order_and_line_dedup():
     assert blocks_plain_text(blocks) == "intro prose\nk v\nclosing prose"
 
 
+def test_textract_key_value_set_forms():
+    """FORMS: KEY/VALUE pairs render as **key:** value, their duplicate
+    prose LINE is claimed-word-dropped, empty values keep the bare label,
+    and a VALUE-entity block alone never emits."""
+    from intelligent_document_processing_on_aws_spark.kernels.textract_blocks import (
+        blocks_to_markdown,
+    )
+
+    blocks = [
+        {"BlockType": "WORD", "Id": "kw1", "Text": "Account"},
+        {"BlockType": "WORD", "Id": "kw2", "Text": "Number"},
+        {"BlockType": "WORD", "Id": "vw1", "Text": "12345"},
+        {"BlockType": "KEY_VALUE_SET", "Id": "v1", "EntityTypes": ["VALUE"],
+         "Relationships": [{"Type": "CHILD", "Ids": ["vw1"]}]},
+        {"BlockType": "KEY_VALUE_SET", "Id": "k1", "EntityTypes": ["KEY"],
+         "Geometry": {"BoundingBox": {"Top": 0.10, "Left": 0.1}},
+         "Relationships": [{"Type": "CHILD", "Ids": ["kw1", "kw2"]},
+                           {"Type": "VALUE", "Ids": ["v1"]}]},
+        # duplicate prose line over the same words: must be dropped
+        {"BlockType": "LINE", "Id": "l1", "Text": "Account Number 12345",
+         "Geometry": {"BoundingBox": {"Top": 0.10, "Left": 0.1}},
+         "Relationships": [{"Type": "CHILD", "Ids": ["kw1", "kw2", "vw1"]}]},
+        # empty-value key
+        {"BlockType": "WORD", "Id": "kw3", "Text": "Signature"},
+        {"BlockType": "KEY_VALUE_SET", "Id": "v2", "EntityTypes": ["VALUE"]},
+        {"BlockType": "KEY_VALUE_SET", "Id": "k2", "EntityTypes": ["KEY"],
+         "Geometry": {"BoundingBox": {"Top": 0.20, "Left": 0.1}},
+         "Relationships": [{"Type": "CHILD", "Ids": ["kw3"]},
+                           {"Type": "VALUE", "Ids": ["v2"]}]},
+    ]
+    blocks += _mk_line("l2", "ordinary prose", 0.15, "pp")
+    md = blocks_to_markdown(blocks)
+    assert md == "**Account Number:** 12345\nordinary prose\n**Signature:**"
+
+
 def test_textract_blocks_empty_and_tableless():
     from intelligent_document_processing_on_aws_spark.kernels.textract_blocks import (
         blocks_to_markdown,
