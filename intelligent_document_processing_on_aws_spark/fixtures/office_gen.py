@@ -39,9 +39,25 @@ def _zip_bytes(entries: dict[str, str]) -> bytes:
     return buf.getvalue()
 
 
+def _run_xml(text: str, fmt: dict) -> str:
+    """One w:r, optionally with bold/italic/underline rPr toggles; text
+    uses xml:space='preserve' so run-boundary spaces survive the parse."""
+    props = ""
+    if fmt.get("b"):
+        props += "<w:b/>"
+    if fmt.get("i"):
+        props += "<w:i/>"
+    if fmt.get("u"):
+        props += '<w:u w:val="single"/>'
+    rpr = f"<w:rPr>{props}</w:rPr>" if props else ""
+    return f'<w:r>{rpr}<w:t xml:space="preserve">{text}</w:t></w:r>'
+
+
 def _docx_payload(paragraphs: list, table_rows: list[list[str]] | None) -> bytes:
-    """Paragraphs are strings or (heading_level, text) tuples — headings
-    carry the OOXML pStyle Heading{N} marker the decoder maps to markdown."""
+    """Paragraphs are strings, (heading_level, text) tuples — headings
+    carry the OOXML pStyle Heading{N} marker the decoder maps to markdown
+    — or dicts {"runs": [(text, fmt)], "align": str|None} with run-level
+    bold/italic/underline formatting."""
     body = []
     for p in paragraphs:
         if isinstance(p, tuple):
@@ -50,6 +66,12 @@ def _docx_payload(paragraphs: list, table_rows: list[list[str]] | None) -> bytes
                 f'<w:p><w:pPr><w:pStyle w:val="Heading{level}"/></w:pPr>'
                 f"<w:r><w:t>{text}</w:t></w:r></w:p>"
             )
+        elif isinstance(p, dict):
+            ppr = ""
+            if p.get("align"):
+                ppr = f'<w:pPr><w:jc w:val="{p["align"]}"/></w:pPr>'
+            runs = "".join(_run_xml(t, f) for t, f in p["runs"])
+            body.append(f"<w:p>{ppr}{runs}</w:p>")
         else:
             body.append(f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>")
     if table_rows:
@@ -184,9 +206,43 @@ def gen_office_doc(i: int) -> dict:
             paragraphs.append((level, head))
             golden_parts.append(f"{'#' * level} {head}")
         for _ in range(2 + rng.randrange(3)):
-            p = _words(rng, 8 + rng.randrange(12))
-            paragraphs.append(p)
-            golden_parts.append(p)
+            if rng.random() < 0.4:
+                # formatted-run paragraph: mixed plain/bold/italic/underline
+                # runs (+ sometimes alignment); golden renders the markdown
+                # emphasis by construction, mirroring render_run_markdown's
+                # documented contract (**/*/<u> around the stripped core)
+                runs: list = []
+                golden_runs: list[str] = []
+                for rj in range(2 + rng.randrange(3)):
+                    t = _words(rng, 2 + rng.randrange(3))
+                    if rj:
+                        t = " " + t
+                    fd = rng.random()
+                    fmt = {}
+                    if fd < 0.30:
+                        fmt = {"b": True}
+                    elif fd < 0.50:
+                        fmt = {"i": True}
+                    elif fd < 0.62:
+                        fmt = {"u": True}
+                    elif fd < 0.72:
+                        fmt = {"b": True, "i": True}
+                    runs.append((t, fmt))
+                    core = t.strip()
+                    if fmt.get("u"):
+                        core = f"<u>{core}</u>"
+                    if fmt.get("i"):
+                        core = f"*{core}*"
+                    if fmt.get("b"):
+                        core = f"**{core}**"
+                    golden_runs.append((" " if rj else "") + core)
+                align = rng.choice((None, None, "center", "right", "both"))
+                paragraphs.append({"runs": runs, "align": align})
+                golden_parts.append("".join(golden_runs).strip())
+            else:
+                p = _words(rng, 8 + rng.randrange(12))
+                paragraphs.append(p)
+                golden_parts.append(p)
         table = None
         if rng.random() < 0.7:
             table = [["Name", "Count"]] + [

@@ -34,38 +34,126 @@ def _docx_cell_text(tc) -> str:  # noqa: ANN001
     ).strip()
 
 
-def docx_to_parts(payload: bytes) -> list[str]:
-    """Body-ordered parts: paragraph texts and markdown-rendered tables."""
+def _toggle_on(el) -> bool:  # noqa: ANN001
+    """OOXML toggle property: present = on unless w:val says off."""
+    if el is None:
+        return False
+    return (el.get(f"{W_NS}val") or "1") not in ("0", "false", "none")
+
+
+def _run_info(r) -> dict | None:  # noqa: ANN001
+    """One w:r -> reference run_info shape (document_converter.py:288-301:
+    text, bold, italic, underline, font_size, font_name)."""
+    text = "".join(t.text or "" for t in r.iter(f"{W_NS}t"))
+    if not text:
+        return None
+    rpr = r.find(f"{W_NS}rPr")
+    bold = italic = underline = False
+    size = name = None
+    if rpr is not None:
+        bold = _toggle_on(rpr.find(f"{W_NS}b"))
+        italic = _toggle_on(rpr.find(f"{W_NS}i"))
+        u = rpr.find(f"{W_NS}u")
+        underline = u is not None and (u.get(f"{W_NS}val") or "single") != "none"
+        sz = rpr.find(f"{W_NS}sz")
+        if sz is not None and (sz.get(f"{W_NS}val") or "").isdigit():
+            size = int(sz.get(f"{W_NS}val")) / 2.0  # half-points -> pt
+        fonts = rpr.find(f"{W_NS}rFonts")
+        if fonts is not None:
+            name = fonts.get(f"{W_NS}ascii")
+    return {"text": text, "bold": bold, "italic": italic,
+            "underline": underline, "font_size": size, "font_name": name}
+
+
+def render_run_markdown(run: dict) -> str:
+    """bold/italic/underline -> markdown emphasis around the stripped core
+    (emphasis markers don't tolerate adjacent spaces); leading/trailing
+    whitespace of the run is preserved outside the markers."""
+    text = run["text"]
+    core = text.strip()
+    if not core or not (run["bold"] or run["italic"] or run["underline"]):
+        return text
+    lead = text[: len(text) - len(text.lstrip())]
+    trail = text[len(text.rstrip()):]
+    if run["underline"]:
+        core = f"<u>{core}</u>"
+    if run["italic"]:
+        core = f"*{core}*"
+    if run["bold"]:
+        core = f"**{core}**"
+    return lead + core + trail
+
+
+_ALIGN_MAP = {"center": "center", "right": "right", "end": "right",
+              "both": "justify", "distribute": "justify"}
+
+
+def docx_to_elements(payload: bytes) -> list[dict]:
+    """Body-ordered element dicts in the reference's extraction shape
+    (document_converter.py:223-381): paragraphs carry style, is_heading,
+    heading_level, alignment (w:jc: center/right/both->justify, else
+    left), and run-level formatting; tables carry per-cell
+    text/is_header/bold/alignment rows."""
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
         xml = zf.read("word/document.xml")
     root = ET.fromstring(xml)
     body = root.find(f"{W_NS}body")
-    parts: list[str] = []
+    elements: list[dict] = []
     if body is None:
-        return parts
+        return elements
     for child in body:
         if child.tag == f"{W_NS}p":
-            text = "".join(t.text or "" for t in child.iter(f"{W_NS}t")).strip()
-            if text:
-                # Heading styles -> markdown headings (the reference reads
-                # paragraph.style "Heading N" and renders heading levels,
-                # document_converter.py:269-279; pStyle w:val carries it
-                # in raw OOXML)
-                style = child.find(f"{W_NS}pPr/{W_NS}pStyle")
-                sval = (style.get(f"{W_NS}val") or "") if style is not None else ""
-                m = re.fullmatch(r"Heading\s*(\d+)", sval)
-                if m:
-                    level = min(max(int(m.group(1)), 1), 6)
-                    parts.append(f"{'#' * level} {text}")
-                else:
-                    parts.append(text)
+            runs = [ri for ri in (_run_info(r) for r in child.iter(f"{W_NS}r")) if ri]
+            text = "".join(r["text"] for r in runs).strip()
+            if not text:
+                continue
+            style = child.find(f"{W_NS}pPr/{W_NS}pStyle")
+            sval = (style.get(f"{W_NS}val") or "") if style is not None else ""
+            m = re.fullmatch(r"Heading\s*(\d+)", sval)
+            jc = child.find(f"{W_NS}pPr/{W_NS}jc")
+            align = _ALIGN_MAP.get(
+                (jc.get(f"{W_NS}val") or "") if jc is not None else "", "left"
+            )
+            elements.append({
+                "type": "paragraph", "text": text,
+                "style": sval or "Normal",
+                "is_heading": m is not None,
+                "heading_level": min(max(int(m.group(1)), 1), 6) if m else 0,
+                "alignment": align, "runs": runs,
+            })
         elif child.tag == f"{W_NS}tbl":
-            rows = [
-                [_docx_cell_text(tc) for tc in tr.findall(f"{W_NS}tc")]
-                for tr in child.findall(f"{W_NS}tr")
+            trs = child.findall(f"{W_NS}tr")
+            data = [
+                [{"text": _docx_cell_text(tc), "is_header": ti == 0,
+                  "bold": ti == 0,
+                  "alignment": "center" if ti == 0 else "left"}
+                 for tc in tr.findall(f"{W_NS}tc")]
+                for ti, tr in enumerate(trs)
             ]
-            rows = [r for r in rows if r]
-            md = format_pipe_table(rows)
+            data = [row for row in data if row]
+            if data:
+                elements.append({"type": "table", "data": data})
+    return elements
+
+
+def docx_to_parts(payload: bytes) -> list[str]:
+    """Body-ordered markdown parts: heading-prefixed / emphasis-rendered
+    paragraphs (Heading styles -> '#'*N, bold/italic/underline runs ->
+    **/*/<u> markers) and pipe tables."""
+    parts: list[str] = []
+    for el in docx_to_elements(payload):
+        if el["type"] == "paragraph":
+            text = "".join(render_run_markdown(r) for r in el["runs"]).strip()
+            if not text:
+                continue
+            if el["is_heading"]:
+                parts.append(f"{'#' * el['heading_level']} {text}")
+            else:
+                parts.append(text)
+        else:
+            md = format_pipe_table(
+                [[c["text"] for c in row] for row in el["data"]]
+            )
             if md:
                 parts.append(md)
     return parts

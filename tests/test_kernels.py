@@ -152,6 +152,41 @@ def test_docx_table_and_paragraph_order():
     assert parts[2].startswith("| H1 | H2 |")
 
 
+def test_docx_run_formatting_and_alignment():
+    """Run-level bold/italic/underline -> markdown emphasis; w:jc
+    alignment surfaces on the element model (document_converter.py:268-381
+    run extraction); toggle-off vals respected; run-boundary whitespace
+    stays outside the markers."""
+    from intelligent_document_processing_on_aws_spark.fixtures.office_gen import (
+        _docx_payload,
+    )
+    from intelligent_document_processing_on_aws_spark.kernels.office import (
+        docx_to_elements,
+        docx_to_parts,
+        render_run_markdown,
+    )
+
+    payload = _docx_payload(
+        [{"runs": [("Total due ", {}), ("now", {"b": True}),
+                   (" via ", {"i": True}), ("wire", {"u": True})],
+          "align": "center"},
+         {"runs": [("both", {"b": True, "i": True})], "align": "both"}],
+        None,
+    )
+    parts = docx_to_parts(payload)
+    assert parts == ["Total due **now** *via* <u>wire</u>", "***both***"]
+    els = docx_to_elements(payload)
+    assert [e["alignment"] for e in els] == ["center", "justify"]
+    assert els[0]["runs"][1] == {"text": "now", "bold": True, "italic": False,
+                                 "underline": False, "font_size": None,
+                                 "font_name": None}
+    # explicit toggle-off: <w:b w:val="0"/> must not bold
+    assert render_run_markdown({"text": "x", "bold": False, "italic": False,
+                                "underline": False}) == "x"
+    assert render_run_markdown({"text": "  spaced  ", "bold": True,
+                                "italic": False, "underline": False}) == "  **spaced**  "
+
+
 def test_xlsx_shared_strings_path():
     """sharedStrings indirection (the common real-world encoding)."""
     import io
