@@ -38,6 +38,13 @@ def gen_csv_doc(i: int) -> dict:
     rng = random.Random(f"csv-{i}-42")
     ncols = 2 + rng.randrange(4)
     kinds = [rng.choice(COL_KINDS) for _ in range(ncols)]
+    if i % 2 == 1 and not any(k in ("int", "float") for k in kinds):
+        # hint-less docs (odd ids) must be DETECTABLY tabular: the
+        # conservative content sniff requires a numeric column contrasting
+        # with a non-numeric header (filetype.looks_like_csv). All-words
+        # CSVs stay covered by the extension-hint family (even ids) —
+        # matching the reference, which only ever routes CSV by extension.
+        kinds[rng.randrange(ncols)] = rng.choice(("int", "float"))
     header = [f"col_{c}" if rng.random() < 0.5 else _str_cell(rng).split(",")[0]
               for c in range(ncols)]
     nrows = 2 + rng.randrange(6)

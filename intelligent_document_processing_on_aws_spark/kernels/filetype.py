@@ -35,20 +35,66 @@ UNKNOWN = "unknown"
 _IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".gif", ".bmp", ".tiff", ".tif", ".webp")
 
 
+def _header_like(fields: list[str]) -> bool:
+    """A CSV header row: short, non-empty, non-numeric labels."""
+    if not fields:
+        return False
+    for f in fields:
+        f = f.strip()
+        if not f or len(f) > 40 or f.count(" ") > 3:
+            return False
+        if _numericish(f):
+            return False
+    return True
+
+
+def _numericish(s: str) -> bool:
+    s = s.strip().replace(",", "")
+    if not s:
+        return False
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
 def looks_like_csv(text: str) -> bool:
-    """Conservative CSV sniff: the first (<=8) non-empty sample lines parse
-    to >= 2 rows of the same >= 2 field count."""
+    """Conservative CSV sniff (hint-less fallback only — a .csv extension
+    routes unconditionally, matching the reference's extension-based
+    dispatch). Gates, all required:
+
+    - the first (<=8) non-empty sample lines parse to >= 3 rows of the
+      same >= 2 field count;
+    - the first row is header-like (short non-empty non-numeric labels);
+    - type contrast: at least one column whose header is non-numeric and
+      whose data values are all numeric — the signal a header-detection
+      sniffer keys on. Comma-bearing prose (logs, address lists) has no
+      such column and stays on the text path; so do all-words CSVs
+      without an extension hint (documented conservatism — the reference
+      never content-sniffs CSV at all)."""
     lines = [ln for ln in text[:4096].splitlines() if ln.strip()][:8]
-    if len(lines) < 2:
+    if len(lines) < 3:
         return False
     try:
         rows = [r for r in _csv.reader(_io.StringIO("\n".join(lines))) if r]
     except _csv.Error:
         return False
-    if len(rows) < 2:
+    if len(rows) < 3:
         return False
     width = len(rows[0])
-    return width >= 2 and all(len(r) == width for r in rows)
+    if width < 2 or any(len(r) != width for r in rows):
+        return False
+    if not _header_like(rows[0]):
+        return False
+    header, data = rows[0], rows[1:]
+    for c in range(width):
+        if _numericish(header[c]):
+            continue
+        vals = [r[c] for r in data if r[c].strip()]
+        if vals and all(_numericish(v) for v in vals):
+            return True
+    return False
 
 
 def _is_unambiguous_image_magic(content: bytes) -> bool:

@@ -44,6 +44,10 @@ def jpeg_size(data: bytes) -> tuple[int, int] | None:
         if marker == 0xFF:  # fill byte before marker
             i += 1
             continue
+        if marker in (0xDA, 0xD9):
+            # SOS/EOI before any SOF: stop — scanning entropy-coded data
+            # would misparse stray 0xFF,0xC0-0xCF pairs as frame headers
+            return None
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2  # standalone markers carry no length
             continue

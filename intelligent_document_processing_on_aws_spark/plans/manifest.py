@@ -32,7 +32,15 @@ def detect_manifest_format(manifest_path: str) -> str:
 
 
 def _validate_and_normalize_row(row: dict, row_num: int) -> dict:
-    document_path = (row.get("document_path") or row.get("path", "") or "").strip()
+    if not isinstance(row, dict):
+        raise ValueError(
+            f"Row {row_num}: manifest entry must be an object, got "
+            f"{type(row).__name__}"
+        )
+    raw = row.get("document_path") or row.get("path", "") or ""
+    # non-string values (e.g. {"path": 123}) coerce rather than leak an
+    # AttributeError past validate_manifest's no-raise contract
+    document_path = str(raw).strip()
     if not document_path:
         raise ValueError(
             f"Row {row_num}: Missing required field 'document_path' or 'path'"
@@ -50,7 +58,7 @@ def _validate_and_normalize_row(row: dict, row_num: int) -> dict:
             f"Row {row_num}: Invalid path '{document_path}'. "
             "Use absolute local path or s3:// URI"
         )
-    baseline = (row.get("baseline_source") or "").strip() or None
+    baseline = str(row.get("baseline_source") or "").strip() or None
     return {
         "path": document_path,
         "type": doc_type,
@@ -89,5 +97,6 @@ def validate_manifest(manifest_path: str) -> tuple[bool, str | None]:
     try:
         parse_manifest(manifest_path)
         return True, None
-    except (ValueError, OSError, json.JSONDecodeError) as e:
+    except (ValueError, OSError) as e:
+        # JSONDecodeError is a ValueError subclass — no separate clause
         return False, str(e)

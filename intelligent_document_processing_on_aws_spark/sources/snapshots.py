@@ -13,9 +13,16 @@ closes the semantic gap with a from-scratch mini commit protocol:
       snap-00000001/manifest.json       snapshot metadata + readable file set
       version-hint.text                 pointer to the committed snapshot id
 
-- ``commit_snapshot`` stages data + manifest first and flips the pointer
-  LAST with an atomic ``os.replace`` — a crashed writer leaves a dangling
-  snap dir that no reader ever sees (snapshot isolation).
+- ``commit_snapshot`` stages data + manifest first; the commit's
+  linearization point is an O_EXCL-created version marker
+  (``commits/v<N+1>``, Iceberg's ``vN.metadata.json`` analog): exactly one
+  writer per version can win, so two concurrent appenders can never both
+  commit against the same parent — the loser gets CommitConflictError and
+  its staged snapshot stays invisible. The ``version-hint.text`` pointer
+  is a read cache flipped after the claim; a winner that crashes between
+  claim and flip is repaired by the next writer (hint reconciled from the
+  latest marker), a crashed writer before the claim leaves only a
+  dangling snap dir no reader ever sees (snapshot isolation).
 - ``append`` manifests carry the parent's file set plus the new files;
   ``overwrite`` starts a fresh set — so every manifest is self-contained
   and a read needs exactly one manifest (like Iceberg's manifest lists).
@@ -48,19 +55,82 @@ class CommitConflictError(RuntimeError):
     whole commit to pick up the new parent."""
 
 
+COMMITS_DIR = "commits"
+
+
 def _snap_dir(table_dir: str, snapshot_id: int) -> str:
     return os.path.join(table_dir, f"snap-{snapshot_id:08d}")
 
 
-def current_snapshot_id(table_dir: str) -> int | None:
-    """The committed snapshot id, or None for an empty/uncreated table.
-    Dangling snap dirs without a pointer flip are invisible by design."""
+def _latest_version(table_dir: str) -> int:
+    """Highest claimed commit-marker version (0 = no commits yet)."""
+    d = os.path.join(table_dir, COMMITS_DIR)
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return 0
+    return max(
+        (int(n[1:]) for n in names if n.startswith("v") and n[1:].isdigit()),
+        default=0,
+    )
+
+
+def _marker_snapshot(table_dir: str, version: int) -> int | None:
+    try:
+        with open(os.path.join(table_dir, COMMITS_DIR, f"v{version:08d}"),
+                  encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _claim_version(table_dir: str, version: int, snapshot_id: int) -> None:
+    """The commit's linearization point: O_EXCL create of the version
+    marker — exactly one writer can own each version."""
+    d = os.path.join(table_dir, COMMITS_DIR)
+    os.makedirs(d, exist_ok=True)
+    fd = os.open(os.path.join(d, f"v{version:08d}"),
+                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        os.write(fd, str(snapshot_id).encode("ascii"))
+    finally:
+        os.close(fd)
+
+
+def _write_hint(table_dir: str, snapshot_id: int) -> None:
+    tmp = os.path.join(table_dir, f"{VERSION_HINT}.{snapshot_id}.{os.getpid()}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(snapshot_id))
+    os.replace(tmp, os.path.join(table_dir, VERSION_HINT))
+
+
+def _reconcile_hint(table_dir: str) -> None:
+    """Repair a crashed winner: if the latest claimed marker points past
+    the hint cache, finish its pointer flip (idempotent, any process may
+    do it)."""
+    v = _latest_version(table_dir)
+    if v == 0:
+        return
+    snap = _marker_snapshot(table_dir, v)
+    if snap is not None and _read_hint(table_dir) != snap:
+        _write_hint(table_dir, snap)
+
+
+def _read_hint(table_dir: str) -> int | None:
     hint = os.path.join(table_dir, VERSION_HINT)
     try:
         with open(hint, encoding="utf-8") as fh:
             return int(fh.read().strip())
     except (FileNotFoundError, ValueError):
         return None
+
+
+def current_snapshot_id(table_dir: str) -> int | None:
+    """The committed snapshot id, or None for an empty/uncreated table.
+    Dangling snap dirs without a pointer flip are invisible by design;
+    a crashed winner's claimed-but-unflipped commit is reconciled first."""
+    _reconcile_hint(table_dir)
+    return _read_hint(table_dir)
 
 
 def _read_manifest(table_dir: str, snapshot_id: int) -> dict:
@@ -84,6 +154,7 @@ def commit_snapshot(
         raise ValueError(f"unknown operation: {operation}")
     os.makedirs(table_dir, exist_ok=True)
     parent = current_snapshot_id(table_dir)
+    parent_version = _latest_version(table_dir)
     # Claim the snap dir with an atomic mkdir, retrying upward: ids must
     # outrun every existing snap dir (committed, dangling, or
     # rolled-back-past) so a commit after rollback_to never clobbers the
@@ -125,22 +196,27 @@ def commit_snapshot(
     with open(os.path.join(snap, "manifest.json"), "w", encoding="utf-8") as fh:
         json.dump(manifest, fh, sort_keys=True)
 
-    # Lost-update check before the flip: if another writer committed since
-    # we read `parent`, an append manifest built from the old parent would
-    # silently drop their rows — raise instead (caller retries), mirroring
-    # Iceberg's optimistic-concurrency CommitFailedException. The residual
-    # check-to-replace window is inherent to pointer-file catalogs; per-
-    # table single-writer remains the supported deployment, this guard
-    # converts the likely race outcomes from silent loss to a hard error.
+    # Optimistic-concurrency commit (Iceberg CommitFailedException analog),
+    # NO check-then-replace window: the O_EXCL marker create below is the
+    # single linearization point. Any writer that committed since we read
+    # `parent` owns version parent_version+1, so our claim fails and the
+    # staged snapshot is abandoned (invisible); an append manifest built
+    # from a stale parent can therefore never be published — silent lost
+    # updates are structurally impossible, not just unlikely.
     if current_snapshot_id(table_dir) != parent:
         raise CommitConflictError(
             f"concurrent commit detected on {table_dir}: parent moved from "
             f"{parent} to {current_snapshot_id(table_dir)}; retry the commit"
         )
-    tmp = os.path.join(table_dir, f"{VERSION_HINT}.{snap_id}.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(str(snap_id))
-    os.replace(tmp, os.path.join(table_dir, VERSION_HINT))
+    try:
+        _claim_version(table_dir, parent_version + 1, snap_id)
+    except FileExistsError:
+        _reconcile_hint(table_dir)  # finish the winner's flip if it crashed
+        raise CommitConflictError(
+            f"concurrent commit detected on {table_dir}: version "
+            f"{parent_version + 1} already claimed; retry the commit"
+        ) from None
+    _write_hint(table_dir, snap_id)
     return snap_id
 
 
@@ -189,7 +265,14 @@ def rollback_to(table_dir: str, snapshot_id: int) -> None:
         os.path.join(_snap_dir(table_dir, snapshot_id), "manifest.json")
     ):
         raise ValueError(f"snapshot {snapshot_id} was never committed")
-    tmp = os.path.join(table_dir, VERSION_HINT + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(str(snapshot_id))
-    os.replace(tmp, os.path.join(table_dir, VERSION_HINT))
+    # a rollback is itself a version claim: the new marker records the
+    # re-pointed snapshot, so hint reconciliation can never undo it
+    version = _latest_version(table_dir)
+    while True:
+        version += 1
+        try:
+            _claim_version(table_dir, version, snapshot_id)
+            break
+        except FileExistsError:
+            continue
+    _write_hint(table_dir, snapshot_id)

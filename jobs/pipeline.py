@@ -140,7 +140,15 @@ def main() -> int:
         counts["eval_accuracy"] = round(overall.accuracy, 4)
         append_status(counted, "EVALUATING", wh)
 
-    append_status(doc_ids, "COMPLETED", wh)
+    # terminal status from the FINAL stage's actual output: a doc that
+    # dropped out mid-pipeline (no attributed sections) must read FAILED,
+    # not COMPLETED — this is what makes plans/status.py's
+    # FAILED-outranks-COMPLETED window live in the shipped job
+    finished_ids = attrs.select("doc_id").distinct()
+    append_status(finished_ids, "COMPLETED", wh)
+    failed_ids = doc_ids.join(finished_ids, "doc_id", "left_anti")
+    append_status(failed_ids, "FAILED", wh)
+    counts["failed_docs"] = failed_ids.count()
     print(json.dumps({
         "warehouse_tables": list_warehouse_tables(spark, wh),
         "counts": counts,

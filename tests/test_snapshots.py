@@ -71,6 +71,65 @@ def test_crashed_commit_is_invisible(spark, tmp_path):
     assert [h["snapshot_id"] for h in snapshot_history(t)] == [1, 3]
 
 
+def test_concurrent_appenders_cannot_both_win(spark, tmp_path):
+    """Two appenders racing from the same parent: the O_EXCL version
+    marker lets exactly one publish; the loser raises and its rows never
+    appear — no silent lost update. Simulated by claiming the next
+    version (what the racing winner does) before the commit's flip."""
+    import pytest
+
+    from intelligent_document_processing_on_aws_spark.sources.snapshots import (
+        CommitConflictError,
+        _claim_version,
+        _latest_version,
+        _snap_dir,
+        _write_hint,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    s1 = commit_snapshot(_df(spark, [1, 2]), tbl, "append")
+
+    real_claim = _claim_version
+
+    def racing_claim(table_dir, version, snapshot_id):
+        # writer B wins this version first (stages snap 99's flip)
+        real_claim(table_dir, version, snapshot_id + 1000)
+        real_claim(table_dir, version, snapshot_id)  # raises FileExistsError
+
+    import intelligent_document_processing_on_aws_spark.sources.snapshots as snaps
+
+    snaps._claim_version = racing_claim
+    try:
+        with pytest.raises(CommitConflictError):
+            commit_snapshot(_df(spark, [3, 4]), tbl, "append")
+    finally:
+        snaps._claim_version = real_claim
+    # winner-side state is NOT damaged: version advanced once, and the
+    # loser's staged rows are invisible (marker points at the fake winner)
+    assert _latest_version(tbl) == 2
+
+
+def test_crashed_winner_is_repaired_by_next_reader(spark, tmp_path):
+    """A writer that crashes between marker claim and hint flip: the next
+    current_snapshot_id() reconciles the hint from the marker, so the
+    committed snapshot becomes visible and later commits proceed."""
+    from intelligent_document_processing_on_aws_spark.sources.snapshots import (
+        VERSION_HINT,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    s1 = commit_snapshot(_df(spark, [1]), tbl, "append")
+    s2 = commit_snapshot(_df(spark, [2]), tbl, "append")
+    # simulate s2's writer crashing before the hint flip
+    hint = os.path.join(tbl, VERSION_HINT)
+    with open(hint, "w", encoding="utf-8") as fh:
+        fh.write(str(s1))
+    assert current_snapshot_id(tbl) == s2  # reconciled from the marker
+    assert _vals(read_table(spark, tbl)) == [1, 2]
+    s3 = commit_snapshot(_df(spark, [3]), tbl, "append")
+    assert _vals(read_table(spark, tbl)) == [1, 2, 3]
+
+
 def test_rollback_then_commit_does_not_clobber(spark, tmp_path):
     t = str(tmp_path / "tbl")
     s1 = commit_snapshot(_df(spark, [1]), t)
