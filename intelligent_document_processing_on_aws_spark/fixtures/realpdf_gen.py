@@ -189,16 +189,98 @@ def _table_page_ops(rng: random.Random) -> tuple[list[str], list[str]]:
     return [title, format_pipe_table(rows)], blocks
 
 
+def _cmap_page_ops(rng: random.Random) -> tuple[list[str], list[str], dict]:
+    """A page shown through a custom-encoded (subsetted) font: byte codes
+    bear NO relation to latin-1 — text is recoverable only through the
+    /ToUnicode CMap. Returns (golden lines, /F2 hex-string blocks,
+    char->code map + params for the CMap builder)."""
+    n_lines = 3 + rng.randrange(4)
+    lines = []
+    for _ in range(n_lines):
+        ws = [rng.choice(WORDS) for _ in range(4 + rng.randrange(5))]
+        ws = [w.capitalize() if rng.random() < 0.25 else w for w in ws]
+        line = " ".join(ws)
+        if rng.random() < 0.3:
+            line += "."
+        lines.append(line)
+    two_byte = rng.random() < 0.35
+    base = 0x0100 if two_byte else 0
+    # 'a'..'z' via ONE bfrange at codes base+0x40.. (deliberately shifted
+    # from ASCII so a latin-1 misread is visibly wrong, not coincidentally
+    # right); all other chars via bfchar (some as the array-form bfrange)
+    char_code = {chr(0x61 + k): base + 0x40 + k for k in range(26)}
+    next_code = base + 1
+    for ch in sorted(set("".join(lines)) - set(char_code)):
+        char_code[ch] = next_code
+        next_code += 1
+    width = 4 if two_byte else 2
+    blocks = []
+    for idx, line in enumerate(lines):
+        y = TOP_Y - LEADING * idx
+        hx = "".join(f"{char_code[c]:0{width}X}" for c in line)
+        if rng.random() < 0.3 and len(hx) > 2 * width:
+            cut = width * 2 * (len(hx) // (2 * width * 2))
+            blocks.append(
+                f"BT /F2 12 Tf {LEFT_X:.1f} {y:.1f} Td "
+                f"[<{hx[:cut]}> {-rng.randrange(20, 170)} <{hx[cut:]}>] TJ ET"
+            )
+        else:
+            blocks.append(f"BT /F2 12 Tf {LEFT_X:.1f} {y:.1f} Td <{hx}> Tj ET")
+    rng.shuffle(blocks)
+    return lines, blocks, {"char_code": char_code, "two_byte": two_byte}
+
+
+def _cmap_stream(char_code: dict, two_byte: bool, rng: random.Random) -> bytes:
+    """Serialize a ToUnicode CMap: codespace + bfchar entries + a bfrange
+    for a..z (dstStart increment form) + sometimes the bracketed-array
+    bfrange form for a consecutive run of the bfchar codes."""
+    width = 4 if two_byte else 2
+    cs = ("<0000> <ffff>" if two_byte else "<00> <ff>")
+    bfchars = sorted(
+        (code, ch) for ch, code in char_code.items() if not ("a" <= ch <= "z")
+    )
+    arr_form: list[tuple[int, str]] = []
+    if len(bfchars) >= 3 and rng.random() < 0.5:
+        arr_form, bfchars = bfchars[:3], bfchars[3:]  # consecutive codes
+    out = [
+        "/CIDInit /ProcSet findresource begin", "12 dict begin", "begincmap",
+        "1 begincodespacerange", cs, "endcodespacerange",
+    ]
+    if bfchars:
+        out.append(f"{len(bfchars)} beginbfchar")
+        for code, ch in bfchars:
+            out.append(f"<{code:0{width}X}> <{ord(ch):04X}>")
+        out.append("endbfchar")
+    run_start = char_code["a"]
+    out.append(f"{1 + bool(arr_form)} beginbfrange")
+    out.append(f"<{run_start:0{width}X}> <{run_start + 25:0{width}X}> <0061>")
+    if arr_form:
+        dsts = " ".join(f"<{ord(ch):04X}>" for _, ch in arr_form)
+        out.append(
+            f"<{arr_form[0][0]:0{width}X}> <{arr_form[-1][0]:0{width}X}> [{dsts}]"
+        )
+    out.append("endbfrange")
+    out += ["endcmap", "CMapName currentdict /CMap defineresource pop",
+            "end", "end"]
+    return "\n".join(out).encode("latin-1")
+
+
 def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
     """Write a complete multi-page PDF; returns (bytes, golden lines)."""
     n_pages = 1 + rng.randrange(3)
     page_lines: list[list[str]] = []
     page_streams: list[list[bytes]] = []  # per page: 1..2 content parts
+    page_cmaps: list[dict | None] = []
     for _ in range(n_pages):
-        if rng.random() < 0.25:
+        cmap_info = None
+        r = rng.random()
+        if r < 0.25:
             lines, blocks = _table_page_ops(rng)
+        elif r < 0.45:
+            lines, blocks, cmap_info = _cmap_page_ops(rng)
         else:
             lines, blocks = _page_content_ops(rng)
+        page_cmaps.append(cmap_info)
         page_lines.append(lines)
         if len(blocks) >= 2 and rng.random() < 0.3:  # /Contents array form
             cut = 1 + rng.randrange(len(blocks) - 1)
@@ -211,7 +293,7 @@ def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
     objects: dict[int, bytes] = {}
     next_num = 4
     page_nums: list[int] = []
-    for streams in page_streams:
+    for pg_idx, streams in enumerate(page_streams):
         content_nums = []
         for raw in streams:
             flate = rng.random() < 0.5
@@ -229,15 +311,44 @@ def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
                 objects[next_num] = head + b"\nstream\n" + data + b"\nendstream"
                 content_nums.append(next_num)
                 next_num += 1
+        fonts = "/F1 3 0 R"
+        cmap_info = page_cmaps[pg_idx]
+        if cmap_info is not None:
+            # custom-encoded font: ToUnicode CMap stream + /F2 font dict
+            cmap_data = _cmap_stream(
+                cmap_info["char_code"], cmap_info["two_byte"], rng
+            )
+            flate = rng.random() < 0.5
+            data = zlib.compress(cmap_data) if flate else cmap_data
+            filt = " /Filter /FlateDecode" if flate else ""
+            cmap_num, font_num = next_num, next_num + 1
+            objects[cmap_num] = (
+                f"<< /Length {len(data)}{filt} >>".encode()
+                + b"\nstream\n" + data + b"\nendstream"
+            )
+            objects[font_num] = (
+                f"<< /Type /Font /Subtype /TrueType /BaseFont /ABCDEF+Subset "
+                f"/ToUnicode {cmap_num} 0 R >>"
+            ).encode()
+            next_num += 2
+            fonts += f" /F2 {font_num} 0 R"
         page_num = next_num
         next_num += 1
         if len(content_nums) == 1:
             contents = f"{content_nums[0]} 0 R"
         else:
             contents = "[ " + " ".join(f"{c} 0 R" for c in content_nums) + " ]"
+        if cmap_info is not None and rng.random() < 0.4:
+            # /Resources as an indirect object (the common generator shape)
+            res_num = next_num
+            next_num += 1
+            objects[res_num] = f"<< /Font << {fonts} >> >>".encode()
+            resources = f"{res_num} 0 R"
+        else:
+            resources = f"<< /Font << {fonts} >> >>"
         objects[page_num] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} {PAGE_H}] "
-            f"/Resources << /Font << /F1 3 0 R >> >> /Contents {contents} >>"
+            f"/Resources {resources} /Contents {contents} >>"
         ).encode()
         page_nums.append(page_num)
 

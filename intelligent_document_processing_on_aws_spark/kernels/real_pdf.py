@@ -29,6 +29,14 @@ Deliberate scope (documented, tested):
   an adjustment at or beyond ``WORD_GAP_TJ`` (180/1000 text-space units,
   the conventional word-gap heuristic — TeX encodes inter-word spaces as
   ~-333) renders as a single space;
+- string decoding is deferred to SHOW time and routed through the
+  current font's /ToUnicode CMap when present (Tf tracks the font;
+  bfchar + both bfrange forms, 1- and 2-byte codes) — custom-encoded
+  subsetted fonts would make eager latin-1 decoding silently wrong;
+  fonts without a CMap decode latin-1, correct for unembedded standard
+  fonts. /Encoding /Differences arrays (without ToUnicode) remain out of
+  scope — post-2005 generators emit ToUnicode precisely so extractors
+  need not interpret font programs;
 - embedded text carries no OCR uncertainty: confidence = 1.0.
 """
 
@@ -243,6 +251,125 @@ def page_content(objects: dict[int, bytes], page_num: int) -> bytes:
     return b"\n".join(content_stream(objects, r) for r in refs)
 
 
+# -- fonts: ToUnicode CMaps ---------------------------------------------------
+
+def _balanced_dict(data: bytes) -> bytes:
+    """The << ... >> block starting at data[0], nested dicts balanced."""
+    depth = i = 0
+    n = len(data)
+    while i < n:
+        two = data[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[:i]
+        else:
+            i += 1
+    return data
+
+
+def _dict_value(objects: dict[int, bytes], body: bytes, key: bytes) -> bytes | None:
+    """A dict-valued entry: inline ``<< ... >>`` or an indirect reference."""
+    m = re.search(rb"/" + key + rb"\s*", body)
+    if not m:
+        return None
+    rest = body[m.end():]
+    if rest.startswith(b"<<"):
+        return _balanced_dict(rest)
+    m2 = re.match(rb"(\d+)\s+\d+\s+R\b", rest)
+    if m2:
+        return objects.get(int(m2.group(1)))
+    return None
+
+
+def _utf16be_hex(hx: bytes) -> str:
+    try:
+        return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", "replace")
+    except (ValueError, UnicodeDecodeError):
+        return ""
+
+
+def parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
+    """A ToUnicode CMap stream -> (code byte width, code -> text map).
+
+    Handles the three public section forms (PDF 1.7 §9.10.3 / Adobe CMap
+    spec): begincodespacerange (code width), beginbfchar (<src> <dst>
+    pairs), beginbfrange in both <lo> <hi> <dstStart> (incrementing the
+    final UTF-16 code unit) and <lo> <hi> [<d1> <d2> ...] forms. dst hex
+    is UTF-16BE (multi-code-unit values = surrogate pairs / ligatures).
+    """
+    mapping: dict[int, str] = {}
+    code_bytes = 1
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", data, re.S)
+    if m:
+        hexes = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        if hexes:
+            code_bytes = max(1, len(hexes[0]) // 2)
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            mapping[int(src, 16)] = _utf16be_hex(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        body = m.group(1)
+        for lo, hi, arr in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", body, re.S
+        ):
+            dsts = re.findall(rb"<([0-9A-Fa-f]+)>", arr)
+            for k, dst in enumerate(dsts):
+                mapping[int(lo, 16) + k] = _utf16be_hex(dst)
+        # strip bracketed arrays first: three consecutive <hex> tokens
+        # inside [..] would otherwise fake a lo/hi/dstStart triple
+        for lo, hi, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+            re.sub(rb"\[.*?\]", b"", body, flags=re.S),
+        ):
+            width = len(dst)
+            for k in range(int(hi, 16) - int(lo, 16) + 1):
+                bumped = f"{int(dst, 16) + k:0{width}x}".encode("ascii")
+                mapping[int(lo, 16) + k] = _utf16be_hex(bumped)
+    return code_bytes, mapping
+
+
+def page_fontmaps(
+    objects: dict[int, bytes], page_num: int
+) -> dict[str, tuple[int, dict[int, str]]]:
+    """Font name (e.g. '/F1') -> parsed ToUnicode map for one page.
+
+    Walks /Resources (inline or indirect) -> /Font -> each font ref ->
+    /ToUnicode stream. Fonts without a ToUnicode CMap are absent from the
+    result and decode as latin-1 bytes (the correct reading for the
+    standard unembedded fonts)."""
+    body = objects.get(page_num, b"")
+    res = _dict_value(objects, body, b"Resources")
+    if res is None:
+        return {}
+    fonts = _dict_value(objects, res, b"Font")
+    if fonts is None:
+        return {}
+    out: dict[str, tuple[int, dict[int, str]]] = {}
+    for m in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R\b", fonts):
+        font_body = objects.get(int(m.group(2)))
+        if font_body is None:
+            continue
+        tu = _dict_ref(font_body, b"ToUnicode")
+        if tu is None:
+            continue
+        try:
+            cmap_data = content_stream(objects, tu)
+        except zlib.error:
+            continue
+        if cmap_data:
+            code_bytes, mapping = parse_tounicode(cmap_data)
+            if mapping:
+                out["/" + m.group(1).decode("latin-1")] = (code_bytes, mapping)
+    return out
+
+
 # -- content-stream tokenizer -------------------------------------------------
 
 class _Name(str):
@@ -250,19 +377,26 @@ class _Name(str):
     never be mistaken for showable text by Tj/TJ."""
 
 
+class _RawStr(bytes):
+    """An undecoded PDF string. Byte -> text decoding happens at SHOW
+    time, through the current font's ToUnicode CMap when it has one and
+    latin-1 otherwise — custom-encoded (subsetted) fonts make eager
+    latin-1 decoding silently wrong."""
+
+
 _ARRAY_OPEN = object()  # unique sentinel: a literal string "[" is showable
 
 _ESCAPES = {
-    b"n"[0]: "\n", b"r"[0]: "\r", b"t"[0]: "\t", b"b"[0]: "\b",
-    b"f"[0]: "\f", b"("[0]: "(", b")"[0]: ")", b"\\"[0]: "\\",
+    b"n"[0]: 0x0A, b"r"[0]: 0x0D, b"t"[0]: 0x09, b"b"[0]: 0x08,
+    b"f"[0]: 0x0C, b"("[0]: 0x28, b")"[0]: 0x29, b"\\"[0]: 0x5C,
 }
 
 
-def _parse_literal_string(data: bytes, i: int) -> tuple[str, int]:
+def _parse_literal_string(data: bytes, i: int) -> tuple[_RawStr, int]:
     """Parse a ``(...)`` literal string starting at the ``(``; handles
     nested balanced parens, backslash escapes, octal escapes, and
-    line-continuation backslashes. Returns (text, index after ``)``)."""
-    out: list[str] = []
+    line-continuation backslashes. Returns (raw bytes, index after ``)``)."""
+    out = bytearray()
     depth = 1
     i += 1
     n = len(data)
@@ -280,38 +414,55 @@ def _parse_literal_string(data: bytes, i: int) -> tuple[str, int]:
                 j = i
                 while j < n and j - i < 3 and 0x30 <= data[j] <= 0x37:
                     j += 1
-                out.append(chr(int(data[i:j], 8) & 0xFF))
+                out.append(int(data[i:j], 8) & 0xFF)
                 i = j
             elif e in (0x0A, 0x0D):  # line continuation
                 i += 1
                 if e == 0x0D and i < n and data[i] == 0x0A:
                     i += 1
             else:  # unknown escape: the char stands for itself
-                out.append(chr(e))
+                out.append(e)
                 i += 1
         elif c == 0x28:  # (
             depth += 1
-            out.append("(")
+            out.append(c)
             i += 1
         elif c == 0x29:  # )
             depth -= 1
             if depth > 0:
-                out.append(")")
+                out.append(c)
             i += 1
         else:
-            out.append(chr(c))
+            out.append(c)
             i += 1
-    return "".join(out), i
+    return _RawStr(out), i
 
 
-def _parse_hex_string(data: bytes, i: int) -> tuple[str, int]:
+def _parse_hex_string(data: bytes, i: int) -> tuple[_RawStr, int]:
     end = data.find(b">", i)
     if end == -1:
         end = len(data)
     hexdigits = re.sub(rb"\s", b"", data[i + 1:end])
     if len(hexdigits) % 2:
         hexdigits += b"0"  # spec: odd final digit implies trailing 0
-    return bytes.fromhex(hexdigits.decode("ascii")).decode("latin-1"), end + 1
+    return _RawStr(bytes.fromhex(hexdigits.decode("ascii"))), end + 1
+
+
+def decode_pdf_string(
+    raw: bytes, cmap: tuple[int, dict[int, str]] | None
+) -> str:
+    """Bytes of a shown string -> text: ToUnicode lookup (1- or 2-byte
+    codes; unmapped codes fall back to their latin-1 reading) or plain
+    latin-1 when the font carries no CMap."""
+    if cmap is None:
+        return raw.decode("latin-1")
+    width, mapping = cmap
+    out: list[str] = []
+    for k in range(0, len(raw) - width + 1, width):
+        code = int.from_bytes(raw[k:k + width], "big")
+        mapped = mapping.get(code)
+        out.append(mapped if mapped is not None else raw[k:k + width].decode("latin-1"))
+    return "".join(out)
 
 
 # TJ adjustments are thousandths of a text-space unit, positive = tighten
@@ -322,8 +473,8 @@ WORD_GAP_TJ = 180.0
 
 
 def _join_tj(arr: list) -> str:
-    """Join a TJ array's strings, rendering word-gap adjustments as a
-    single space; kerning-scale numbers concatenate. Gaps before the
+    """Join a TJ array's decoded strings, rendering word-gap adjustments
+    as a single space; kerning-scale numbers concatenate. Gaps before the
     first string or after the last produce nothing (no stray padding)."""
     out: list[str] = []
     pending_gap = False
@@ -331,7 +482,7 @@ def _join_tj(arr: list) -> str:
         if isinstance(e, float):
             if e <= -WORD_GAP_TJ:
                 pending_gap = True
-        elif isinstance(e, str) and not isinstance(e, _Name):
+        elif isinstance(e, str):
             if pending_gap and out and not out[-1].endswith(" ") and not e.startswith(" "):
                 out.append(" ")
             pending_gap = False
@@ -339,18 +490,28 @@ def _join_tj(arr: list) -> str:
     return "".join(out)
 
 
-def text_spans(content: bytes, page: int) -> list[dict]:
+def text_spans(
+    content: bytes,
+    page: int,
+    fontmaps: dict[str, tuple[int, dict[int, str]]] | None = None,
+) -> list[dict]:
     """Interpret text-positioning/showing operators into positioned spans.
 
     Emits ``{"page", "x", "y", "text"}`` with y negated (PDF y grows
-    upward; reading_order_lines sorts ascending y = top-down).
+    upward; reading_order_lines sorts ascending y = top-down). ``fontmaps``
+    (from page_fontmaps) supplies per-font ToUnicode CMaps; Tf tracks the
+    current font so each shown string decodes through its own encoding.
     """
     spans: list[dict] = []
     stack: list = []  # operand stack (numbers + pending strings/arrays)
     tx = ty = 0.0  # text-line origin
     tl = 0.0  # leading
     in_text = False
+    cur_cmap: tuple[int, dict[int, str]] | None = None
     i, n = 0, len(content)
+
+    def dec(raw: _RawStr) -> str:
+        return decode_pdf_string(raw, cur_cmap)
 
     def show(text: str) -> None:
         if text:
@@ -407,6 +568,11 @@ def text_spans(content: bytes, page: int) -> list[dict]:
                 tl = 0.0
             elif op == b"ET":
                 in_text = False
+            elif op == b"Tf" and len(stack) >= 2:
+                stack.pop()  # size
+                fname = stack.pop()
+                if isinstance(fname, _Name):
+                    cur_cmap = (fontmaps or {}).get(str(fname))
             elif not in_text:
                 stack.clear()
             elif op == b"Td" and len(stack) >= 2:
@@ -436,23 +602,26 @@ def text_spans(content: bytes, page: int) -> list[dict]:
                 ty -= tl
             elif op == b"Tj" and stack:
                 v = stack.pop()
-                if isinstance(v, str) and not isinstance(v, _Name):
-                    show(v)
+                if isinstance(v, _RawStr):
+                    show(dec(v))
             elif op == b"TJ" and stack:
                 v = stack.pop()
                 if isinstance(v, list):
-                    show(_join_tj(v))
+                    show(_join_tj(
+                        [dec(e) if isinstance(e, _RawStr) else e
+                         for e in v if isinstance(e, (float, _RawStr))]
+                    ))
             elif op == b"'" and stack:
                 v = stack.pop()
                 ty -= tl
-                if isinstance(v, str) and not isinstance(v, _Name):
-                    show(v)
+                if isinstance(v, _RawStr):
+                    show(dec(v))
             elif op == b'"' and len(stack) >= 3:
                 v = stack.pop()
                 del stack[-2:]  # word + char spacing: no span-level effect
                 ty -= tl
-                if isinstance(v, str) and not isinstance(v, _Name):
-                    show(v)
+                if isinstance(v, _RawStr):
+                    show(dec(v))
             else:
                 stack.clear()  # any other operator consumes its operands
     return spans
@@ -464,7 +633,10 @@ def extract_real_pdf(content: bytes) -> ExtractionResult:
     expand_object_streams(objects)
     spans: list[dict] = []
     for idx, pnum in enumerate(page_object_numbers(objects), start=1):
-        spans.extend(text_spans(page_content(objects, pnum), idx))
+        spans.extend(text_spans(
+            page_content(objects, pnum), idx,
+            fontmaps=page_fontmaps(objects, pnum),
+        ))
     if not spans:
         return ExtractionResult("", [], 0.0, 0)
     lines = reading_order_lines(spans)

@@ -312,6 +312,106 @@ def test_objstm_fixture_family_present_and_green():
 
 
 # ---------------------------------------------------------------------------
+# ToUnicode CMaps (round-3)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_tounicode_all_section_forms():
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        parse_tounicode,
+    )
+
+    cmap = b"""
+    1 begincodespacerange
+    <00> <ff>
+    endcodespacerange
+    2 beginbfchar
+    <01> <0020>
+    <02> <00E9>
+    endbfchar
+    2 beginbfrange
+    <40> <42> <0061>
+    <50> <52> [<005A> <0059> <0058>]
+    endbfrange
+    """
+    width, m = parse_tounicode(cmap)
+    assert width == 1
+    assert m[0x01] == " " and m[0x02] == "é"
+    assert (m[0x40], m[0x41], m[0x42]) == ("a", "b", "c")
+    assert (m[0x50], m[0x51], m[0x52]) == ("Z", "Y", "X")
+    # 2-byte codespace
+    width2, m2 = parse_tounicode(
+        b"1 begincodespacerange <0000> <ffff> endcodespacerange "
+        b"1 beginbfchar <0141> <0041> endbfchar"
+    )
+    assert width2 == 2 and m2[0x141] == "A"
+
+
+def test_decode_pdf_string_fallback_and_width():
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        decode_pdf_string,
+    )
+
+    assert decode_pdf_string(b"plain", None) == "plain"
+    cmap1 = (1, {0x01: "H", 0x02: "i"})
+    assert decode_pdf_string(b"\x01\x02", cmap1) == "Hi"
+    # unmapped code falls back to its latin-1 reading
+    assert decode_pdf_string(b"\x01Q", cmap1) == "HQ"
+    cmap2 = (2, {0x0101: "O", 0x0102: "k"})
+    assert decode_pdf_string(b"\x01\x01\x01\x02", cmap2) == "Ok"
+
+
+def test_cmap_font_beats_latin1_misread():
+    """A subsetted font whose codes collide with ASCII letters: the CMap
+    reading must win — latin-1 would silently produce WRONG text, not an
+    error (the exact failure class this closes)."""
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        extract_real_pdf,
+    )
+
+    # code 0x41 ('A' in latin-1) maps to 'Z'; 0x42 -> 'o'
+    cmap = (b"1 begincodespacerange <00> <ff> endcodespacerange\n"
+            b"2 beginbfchar <41> <005A> <42> <006F> endbfchar")
+    content = b"BT /F2 12 Tf 72 700 Td <4142> Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R "
+        b"/Resources << /Font << /F2 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /ToUnicode 6 0 R >>\nendobj\n"
+        b"6 0 obj\n<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+        + cmap + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert extract_real_pdf(pdf).extracted_text == "Zo"  # latin-1 says "AB"
+
+
+def test_font_without_cmap_stays_latin1():
+    """Standard unembedded fonts (no ToUnicode) keep byte-literal latin-1
+    decoding — the pre-CMap behavior, still correct for them."""
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        text_spans,
+    )
+
+    ops = b"BT /F1 12 Tf 72 700 Td <4142> Tj ET"
+    assert [s["text"] for s in text_spans(ops, 1, fontmaps={})] == ["AB"]
+
+
+def test_cmap_fixture_family_present_and_green():
+    n_cmap = 0
+    for i in range(0, 400, 5):
+        rec = gen_real_pdf(i)
+        if b"/ToUnicode" in rec["html"]:
+            n_cmap += 1
+            assert extract_real_pdf(rec["html"]).extracted_text == \
+                rec["extracted_text"], f"doc {i}"
+    assert n_cmap >= 10
+
+
+# ---------------------------------------------------------------------------
 # TJ word-gap heuristic (round-3)
 # ---------------------------------------------------------------------------
 
