@@ -82,7 +82,16 @@ def main() -> int:
     # q1b: genuine %PDF decode throughput (object scan + FlateDecode +
     # text-operator interpretation), executor-generated corpus
     n_pdf = int(os.environ.get("BENCH_PDF_ROWS", "20000"))
-    pdf_corpus = f"/tmp/idp_bench_pdfs_{n_pdf}"
+    # cache path is generator-versioned: doc 0's payload digest changes
+    # whenever realpdf_gen changes, so a stale corpus is never reused
+    import hashlib
+
+    from intelligent_document_processing_on_aws_spark.fixtures.realpdf_gen import (
+        gen_real_pdf,
+    )
+
+    gen_tag = hashlib.md5(gen_real_pdf(0)["html"]).hexdigest()[:8]
+    pdf_corpus = f"/tmp/idp_bench_pdfs_{n_pdf}_{gen_tag}"
     if not os.path.exists(os.path.join(pdf_corpus, "_SUCCESS")):
         synthetic_real_pdfs(spark, n_pdf, partitions=cpus * 2).write.mode(
             "overwrite"

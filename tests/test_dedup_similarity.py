@@ -149,6 +149,43 @@ def test_lsh_default_cap_preserves_fixture_recall(spark, docs_df):
     assert capped_sh == uncapped_sh
 
 
+def test_minhash_vectorized_matches_bigint_reference():
+    """The uint64 limb-decomposed Mersenne modmul must be bit-exact
+    against a plain big-int evaluation of (a*x + b) mod p for the same
+    coefficients and shingle hashes."""
+    import hashlib
+    import struct
+
+    from intelligent_document_processing_on_aws_spark.kernels.fingerprint import (
+        MAX_HASH,
+        MERSENNE_PRIME,
+        shingles,
+        stable_hash32,
+    )
+
+    def ref_sig(text, num_perm=32, seed=42, k=3):
+        params = []
+        for i in range(num_perm):
+            d = hashlib.md5(f"minhash-{seed}-{i}".encode()).digest()
+            a = (struct.unpack("<Q", d[:8])[0] % (MERSENNE_PRIME - 1)) + 1
+            b = struct.unpack("<Q", d[8:16])[0] % MERSENNE_PRIME
+            params.append((a, b))
+        sh = shingles(text, k)
+        if not sh:
+            return [MAX_HASH] * num_perm
+        hs = [stable_hash32(s) for s in sh]
+        return [min(((a * x + b) % MERSENNE_PRIME) & MAX_HASH for x in hs)
+                for a, b in params]
+
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    for _ in range(60):
+        t = " ".join(rng.choice(words) for _ in range(rng.randrange(0, 50)))
+        assert minhash_signature(t) == ref_sig(t), t
+
+
 def test_minhash_signature_similarity_estimate():
     """signature agreement approximates jaccard (property of MinHash)."""
     a = "the quick brown fox jumps over the lazy dog " * 5
