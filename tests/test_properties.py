@@ -185,3 +185,81 @@ def test_chunker_properties(text, max_chunk, token_size, overlap_pct):
     # every boundary except the last overlaps its successor by `overlap`
     for a, b in zip(chunks, chunks[1:]):
         assert a[len(a) - overlap:] == b[:overlap] or len(b) < overlap
+
+
+# -- round-3: PDF predictor / CMap / TJ properties ---------------------------
+
+@given(st.binary(min_size=0, max_size=256), st.integers(1, 16),
+       st.integers(0, 10**6))
+@settings(max_examples=60)
+def test_png_predictor_roundtrip(data, columns, seed):
+    """Up-filter encode (generator) -> png_unpredict (kernel) is identity
+    on complete rows for any payload and column width."""
+    import random
+
+    from intelligent_document_processing_on_aws_spark.fixtures.realpdf_gen import (
+        _png_predict_up,
+    )
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        png_unpredict,
+    )
+
+    rng = random.Random(seed)
+    pad = data + bytes(rng.randrange(256) for _ in range((-len(data)) % columns))
+    assert png_unpredict(_png_predict_up(pad, columns), 12, columns) == pad
+
+
+@given(st.integers(0, 10**6), st.booleans())
+@settings(max_examples=40)
+def test_tounicode_cmap_roundtrip(seed, two_byte):
+    """Random charset -> generated CMap stream -> parse_tounicode recovers
+    every code->char mapping exactly (bfchar, both bfrange forms)."""
+    import random
+
+    from intelligent_document_processing_on_aws_spark.fixtures.realpdf_gen import (
+        _cmap_stream,
+    )
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        parse_tounicode,
+    )
+
+    rng = random.Random(seed)
+    base = 0x0100 if two_byte else 0
+    char_code = {chr(0x61 + k): base + 0x40 + k for k in range(26)}
+    extra = rng.sample(" .,!?0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                       rng.randrange(0, 12))
+    next_code = base + 1
+    for ch in sorted(extra):
+        char_code[ch] = next_code
+        next_code += 1
+    width, mapping = parse_tounicode(
+        _cmap_stream(char_code, two_byte, rng)
+    )
+    assert width == (2 if two_byte else 1)
+    for ch, code in char_code.items():
+        assert mapping.get(code) == ch, (ch, code)
+
+
+@given(st.lists(st.one_of(
+    st.text(alphabet="abc XY", min_size=0, max_size=8),
+    st.floats(min_value=-900, max_value=900, allow_nan=False),
+), max_size=12))
+@settings(max_examples=80)
+def test_tj_gap_join_invariants(arr):
+    """_join_tj: never two adjacent spaces introduced, no leading/trailing
+    gap padding, and with no word-gap adjustments it is plain concat."""
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        WORD_GAP_TJ,
+        _join_tj,
+    )
+
+    out = _join_tj(arr)
+    strs = [e for e in arr if isinstance(e, str)]
+    concat = "".join(strs)
+    if not any(isinstance(e, float) and e <= -WORD_GAP_TJ for e in arr):
+        assert out == concat
+    # inserted gaps are single spaces between non-space chars: they can
+    # never create a new double-space run
+    assert out.count("  ") <= concat.count("  ")
+    assert len(out) - len(concat) <= max(0, len(strs) - 1)
+    assert out.replace(" ", "") == concat.replace(" ", "")
