@@ -483,6 +483,9 @@ def _join_tj(arr: list) -> str:
             if e <= -WORD_GAP_TJ:
                 pending_gap = True
         elif isinstance(e, str):
+            if not e:
+                continue  # empty show: no glyphs — adjacent gaps must not
+                # stack into double spaces (found by hypothesis)
             if pending_gap and out and not out[-1].endswith(" ") and not e.startswith(" "):
                 out.append(" ")
             pending_gap = False
