@@ -9,7 +9,9 @@ emitted lines-first then tables; reading order must come from the boxes,
 not list order), table-only pages, empty pages, and KEY_VALUE_SET form
 pairs (FeatureTypes=FORMS shape: KEY/VALUE EntityTypes, VALUE
 relationships, empty values, plus the duplicate prose LINE Textract also
-emits over the same words — must be dropped).
+emits over the same words — must be dropped), and SELECTION_ELEMENT
+checkboxes both as form values and inside table cells (rendered
+:selected:/:unselected:, textractor's convention).
 
 The golden markdown is assembled by this generator's own walk of the
 template items in construction order — the kernel never runs here; the one
@@ -84,13 +86,32 @@ def gen_ocrblocks_doc(i: int) -> dict:
             for _ in range(1 + rng.randrange(3)):
                 key_text = _words(rng, 1, 2)
                 empty_val = rng.random() < 0.15
+                # checkbox form field: the VALUE's child is a
+                # SELECTION_ELEMENT, not words (FeatureTypes=FORMS shape);
+                # textractor renders it as :selected:/:unselected:
+                checkbox = (not empty_val) and rng.random() < 0.25
                 val_text = "" if empty_val else _words(rng, 1, 3)
                 kw_blocks, kw_ids = _word_blocks(ids, key_text)
                 lines.extend(kw_blocks)
                 vrel: list[dict] = []
                 dup_wids = list(kw_ids)
                 dup_texts = [key_text]
-                if not empty_val:
+                if checkbox:
+                    sel_id = ids.next("s")
+                    status = ("SELECTED" if rng.random() < 0.5
+                              else "NOT_SELECTED")
+                    lines.append({"BlockType": "SELECTION_ELEMENT",
+                                  "Id": sel_id, "SelectionStatus": status})
+                    vid = ids.next("v")
+                    lines.append({
+                        "BlockType": "KEY_VALUE_SET", "Id": vid,
+                        "EntityTypes": ["VALUE"],
+                        "Relationships": [{"Type": "CHILD", "Ids": [sel_id]}],
+                    })
+                    vrel = [{"Type": "VALUE", "Ids": [vid]}]
+                    val_text = (":selected:" if status == "SELECTED"
+                                else ":unselected:")
+                elif not empty_val:
                     vw_blocks, vw_ids = _word_blocks(ids, val_text)
                     lines.extend(vw_blocks)
                     vid = ids.next("v")
@@ -173,12 +194,29 @@ def gen_ocrblocks_doc(i: int) -> dict:
                         cell["RowSpan"] = 2
                     else:
                         cell["ColumnSpan"] = 2
+                child_ids: list[str] = []
                 if text:
                     wblocks, wids = _word_blocks(ids, text)
                     cell_blocks.extend(wblocks)
-                    cell["Relationships"] = [{"Type": "CHILD", "Ids": wids}]
+                    child_ids.extend(wids)
                     row_wids.extend(wids)
                     row_texts.append(text)
+                if rng.random() < 0.08:
+                    # checkbox inside a table cell (SELECTION_ELEMENT child;
+                    # renders after the cell's words in child order)
+                    sel_id = ids.next("s")
+                    status = ("SELECTED" if rng.random() < 0.5
+                              else "NOT_SELECTED")
+                    cell_blocks.append({"BlockType": "SELECTION_ELEMENT",
+                                        "Id": sel_id,
+                                        "SelectionStatus": status})
+                    child_ids.append(sel_id)
+                    token = (":selected:" if status == "SELECTED"
+                             else ":unselected:")
+                    text = f"{text} {token}".strip()
+                if child_ids:
+                    cell["Relationships"] = [{"Type": "CHILD",
+                                              "Ids": child_ids}]
                 cell_blocks.append(cell)
                 cell_ids.append(cell["Id"])
                 grid[rr - 1][cc - 1] = escape_pipes(text)

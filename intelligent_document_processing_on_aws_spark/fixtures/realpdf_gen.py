@@ -21,6 +21,8 @@ determined by Random(f"rpdf-{i}-42")):
 
 from __future__ import annotations
 
+import base64
+import binascii
 import json
 import random
 import zlib
@@ -230,6 +232,119 @@ def _cmap_page_ops(rng: random.Random) -> tuple[list[str], list[str], dict]:
     return lines, blocks, {"char_code": char_code, "two_byte": two_byte}
 
 
+_GLYPH_POOL = [
+    ("quoteright", "’"), ("quotedblleft", "“"), ("quotedblright", "”"),
+    ("emdash", "—"), ("endash", "–"), ("bullet", "•"), ("Euro", "€"),
+    ("eacute", "é"), ("adieresis", "ä"), ("ccedilla", "ç"),
+    ("ellipsis", "…"), ("oe", "œ"), ("agrave", "à"), ("uacute", "ú"),
+]
+
+# cp1252's 0x80-0x9F block: bytes where WinAnsi differs from latin-1
+_WINANSI_POOL = ["’", "“", "”", "–", "—", "•", "€", "™", "œ", "…", "ƒ", "Š"]
+
+
+def _encoding_page_ops(rng: random.Random) -> tuple[list[str], list[str], str]:
+    """A page shown through a simple font carrying an /Encoding entry but
+    NO ToUnicode CMap: either bare /WinAnsiEncoding (cp1252 high bytes) or
+    a /Differences array assigning AGL glyph names to custom codes —
+    latin-1 would misread every special character. Returns (golden lines,
+    /F3 blocks, the /Encoding value string)."""
+    use_winansi = rng.random() < 0.4
+    if use_winansi:
+        enc_value = "/WinAnsiEncoding"
+        code_of = {ch: ch.encode("cp1252")[0] for ch in _WINANSI_POOL}
+    else:
+        chosen = rng.sample(_GLYPH_POOL, 4 + rng.randrange(4))
+        split = rng.randrange(1, len(chosen))
+        diff_parts: list[str] = []
+        code_of = {}
+        code = 0x80 + rng.randrange(0x20)
+        for run in (chosen[:split], chosen[split:]):
+            if not run:
+                continue
+            diff_parts.append(str(code))  # restart-number form
+            for name, ch in run:
+                diff_parts.append("/" + name)
+                code_of[ch] = code
+                code += 1
+            code += 1 + rng.randrange(5)  # gap before the next run
+        base = "/BaseEncoding /WinAnsiEncoding " if rng.random() < 0.5 else ""
+        enc_value = f"<< {base}/Differences [ {' '.join(diff_parts)} ] >>"
+    specials = list(code_of)
+    lines, blocks = [], []
+    for idx in range(3 + rng.randrange(3)):
+        ws = [rng.choice(WORDS) for _ in range(3 + rng.randrange(4))]
+        line = " ".join(ws)
+        for ch in rng.sample(specials, 2 + rng.randrange(2)):
+            pos = rng.randrange(1, len(line))
+            line = line[:pos] + ch + line[pos:]
+        lines.append(line)
+        enc = "".join(chr(code_of.get(c, ord(c))) for c in line)
+        y = TOP_Y - LEADING * idx
+        if rng.random() < 0.4:
+            hx = enc.encode("latin-1").hex().upper()
+            blocks.append(f"BT /F3 12 Tf {LEFT_X:.1f} {y:.1f} Td <{hx}> Tj ET")
+        else:
+            blocks.append(
+                f"BT /F3 12 Tf {LEFT_X:.1f} {y:.1f} Td "
+                f"({_esc_literal(enc, rng)}) Tj ET"
+            )
+    rng.shuffle(blocks)
+    return lines, blocks, enc_value
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Fixture-side PDF LZW encoder (EarlyChange=1), width schedule the
+    mirror of kernels/real_pdf.lzw_decode (the decoder's table add lags
+    one code, so the encoder widens one add late)."""
+    table = {bytes([i]): i for i in range(256)}
+    size, width = 258, 9
+    codes: list[tuple[int, int]] = [(256, 9)]
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], width))
+        table[wc] = size
+        size += 1
+        if size - 1 >= (1 << width) - 1 and width < 12:
+            width += 1
+        w = bytes([b])
+    if w:
+        codes.append((table[w], width))
+    codes.append((257, width))
+    bitbuf = bitcnt = 0
+    out = bytearray()
+    for code, cw in codes:
+        bitbuf = (bitbuf << cw) | code
+        bitcnt += cw
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def _encode_stream(raw: bytes, rng: random.Random) -> tuple[bytes, str]:
+    """Pick a stream encoding; returns (data, /Filter head fragment).
+    Exercises every filter the kernel decodes, including the
+    ASCII-armor -> compression cascade form."""
+    r = rng.random()
+    if r < 0.3:
+        return raw, ""
+    if r < 0.6:
+        return zlib.compress(raw), " /Filter /FlateDecode"
+    if r < 0.75:
+        armored = base64.a85encode(zlib.compress(raw), adobe=True)[2:]
+        return armored, " /Filter [ /ASCII85Decode /FlateDecode ]"
+    if r < 0.88:
+        return binascii.hexlify(raw).upper() + b">", " /Filter /ASCIIHexDecode"
+    return _lzw_encode(raw), " /Filter /LZWDecode"
+
+
 def _cmap_stream(char_code: dict, two_byte: bool, rng: random.Random) -> bytes:
     """Serialize a ToUnicode CMap: codespace + bfchar entries + a bfrange
     for a..z (dstStart increment form) + sometimes the bracketed-array
@@ -271,16 +386,21 @@ def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
     page_lines: list[list[str]] = []
     page_streams: list[list[bytes]] = []  # per page: 1..2 content parts
     page_cmaps: list[dict | None] = []
+    page_encs: list[str | None] = []
     for _ in range(n_pages):
         cmap_info = None
+        enc_value = None
         r = rng.random()
-        if r < 0.25:
+        if r < 0.22:
             lines, blocks = _table_page_ops(rng)
-        elif r < 0.45:
+        elif r < 0.40:
             lines, blocks, cmap_info = _cmap_page_ops(rng)
+        elif r < 0.55:
+            lines, blocks, enc_value = _encoding_page_ops(rng)
         else:
             lines, blocks = _page_content_ops(rng)
         page_cmaps.append(cmap_info)
+        page_encs.append(enc_value)
         page_lines.append(lines)
         if len(blocks) >= 2 and rng.random() < 0.3:  # /Contents array form
             cut = 1 + rng.randrange(len(blocks) - 1)
@@ -296,9 +416,7 @@ def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
     for pg_idx, streams in enumerate(page_streams):
         content_nums = []
         for raw in streams:
-            flate = rng.random() < 0.5
-            data = zlib.compress(raw) if flate else raw
-            filt = " /Filter /FlateDecode" if flate else ""
+            data, filt = _encode_stream(raw, rng)
             if rng.random() < 0.2:  # /Length as indirect ref (untrustable)
                 len_num = next_num + 1
                 head = f"<< /Length {len_num} 0 R{filt} >>".encode()
@@ -318,9 +436,7 @@ def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
             cmap_data = _cmap_stream(
                 cmap_info["char_code"], cmap_info["two_byte"], rng
             )
-            flate = rng.random() < 0.5
-            data = zlib.compress(cmap_data) if flate else cmap_data
-            filt = " /Filter /FlateDecode" if flate else ""
+            data, filt = _encode_stream(cmap_data, rng)
             cmap_num, font_num = next_num, next_num + 1
             objects[cmap_num] = (
                 f"<< /Length {len(data)}{filt} >>".encode()
@@ -332,6 +448,24 @@ def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
             ).encode()
             next_num += 2
             fonts += f" /F2 {font_num} 0 R"
+        enc_value = page_encs[pg_idx]
+        if enc_value is not None:
+            # simple font with /Encoding (no ToUnicode): bare name, inline
+            # dict, or an indirectly-referenced encoding dict
+            if enc_value.startswith("<<") and rng.random() < 0.3:
+                enc_num = next_num
+                next_num += 1
+                objects[enc_num] = enc_value.encode("latin-1")
+                enc_ref = f"{enc_num} 0 R"
+            else:
+                enc_ref = enc_value
+            font_num = next_num
+            next_num += 1
+            objects[font_num] = (
+                f"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman "
+                f"/Encoding {enc_ref} >>"
+            ).encode("latin-1")
+            fonts += f" /F3 {font_num} 0 R"
         page_num = next_num
         next_num += 1
         if len(content_nums) == 1:

@@ -33,10 +33,10 @@ Deliberate scope (documented, tested):
   current font's /ToUnicode CMap when present (Tf tracks the font;
   bfchar + both bfrange forms, 1- and 2-byte codes) — custom-encoded
   subsetted fonts would make eager latin-1 decoding silently wrong;
-  fonts without a CMap decode latin-1, correct for unembedded standard
-  fonts. /Encoding /Differences arrays (without ToUnicode) remain out of
-  scope — post-2005 generators emit ToUnicode precisely so extractors
-  need not interpret font programs;
+  fonts without a CMap route through their simple-font /Encoding
+  (WinAnsi/MacRoman base + /Differences glyph names resolved via the
+  AGL convention, kernels/pdf_encodings); fonts with neither decode
+  latin-1, correct for unembedded standard fonts;
 - embedded text carries no OCR uncertainty: confidence = 1.0.
 """
 
@@ -46,6 +46,7 @@ import re
 import zlib
 
 from .boilerplate import ExtractionResult, Span
+from .pdf_encodings import parse_encoding
 from .pdf_layout import LINE_JOIN, assemble_blocks, reading_order_lines
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
@@ -164,8 +165,85 @@ def png_unpredict(data: bytes, predictor: int, columns: int) -> bytes:
     return bytes(out)
 
 
+def lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode (PDF 1.7 §7.4.4 / TIFF variant): 9->12-bit growing
+    codes, clear=256, EOD=257, /EarlyChange widening (default 1 = widen
+    one code early)."""
+    table = {i: bytes([i]) for i in range(256)}
+    size = 258
+    width = 9
+    out = bytearray()
+    bitbuf = bitcnt = 0
+    prev: bytes | None = None
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                size, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code in table:
+                entry = table[code]
+            elif prev is not None and code == size:
+                entry = prev + prev[:1]  # KwKwK case
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out += entry
+            if prev is not None:
+                table[size] = prev + entry[:1]
+                size += 1
+            prev = entry
+            if size >= (1 << width) - early and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _ascii85_decode(raw: bytes) -> bytes:
+    """PDF ASCII85Decode: whitespace-tolerant, ``z`` groups, ``~>`` EOD
+    (the leading ``<~`` Adobe frame is absent in PDF streams)."""
+    import base64
+
+    data = re.sub(rb"\s", b"", raw)
+    if data.endswith(b"~>"):
+        data = data[:-2]
+    if data.startswith(b"<~"):
+        data = data[2:]
+    return base64.a85decode(b"<~" + data + b"~>", adobe=True)
+
+
+def _asciihex_decode(raw: bytes) -> bytes:
+    hx = re.sub(rb"[^0-9A-Fa-f>]", b"", raw).split(b">")[0]
+    if len(hx) % 2:
+        hx += b"0"  # spec: odd final digit implies trailing 0
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _apply_predictor(head: bytes, raw: bytes) -> bytes:
+    m = re.search(rb"/DecodeParms\s*<<([^>]*)>>", head)
+    if not m:
+        return raw
+    parms = m.group(1)
+    pred = re.search(rb"/Predictor\s+(\d+)", parms)
+    cols = re.search(rb"/Columns\s+(\d+)", parms)
+    if pred:
+        raw = png_unpredict(
+            raw, int(pred.group(1)), int(cols.group(1)) if cols else 1
+        )
+    return raw
+
+
+def _early_change(head: bytes) -> int:
+    m = re.search(rb"/EarlyChange\s+(\d+)", head)
+    return int(m.group(1)) if m else 1
+
+
 def content_stream(objects: dict[int, bytes], num: int) -> bytes:
-    """Decode one content-stream object (FlateDecode or raw).
+    """Decode one content-stream object (filter cascade or raw).
 
     /Length is used when it resolves AND lands on ``endstream`` (binary
     data may legally end in EOL bytes, which an endstream-keyword
@@ -192,18 +270,21 @@ def content_stream(objects: dict[int, bytes], num: int) -> bytes:
         elif raw.endswith(b"\n") or raw.endswith(b"\r"):
             raw = raw[:-1]
     head = body[:start]
-    if re.search(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b", head):
-        raw = zlib.decompress(raw)
-        m = re.search(rb"/DecodeParms\s*<<([^>]*)>>", head)
-        if m:
-            parms = m.group(1)
-            pred = re.search(rb"/Predictor\s+(\d+)", parms)
-            cols = re.search(rb"/Columns\s+(\d+)", parms)
-            if pred:
-                raw = png_unpredict(
-                    raw, int(pred.group(1)),
-                    int(cols.group(1)) if cols else 1,
-                )
+    # /Filter is a single name or an array applied left-to-right
+    # (PDF 1.7 §7.4): ASCII armor first, then the compression filter,
+    # whose output takes the (single) /DecodeParms predictor.
+    mf = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", head)
+    names = re.findall(rb"/([A-Za-z0-9]+)", mf.group(1)) if mf else []
+    for name in names:
+        if name == b"ASCIIHexDecode":
+            raw = _asciihex_decode(raw)
+        elif name == b"ASCII85Decode":
+            raw = _ascii85_decode(raw)
+        elif name == b"FlateDecode":
+            raw = _apply_predictor(head, zlib.decompress(raw))
+        elif name == b"LZWDecode":
+            raw = _apply_predictor(head, lzw_decode(raw, _early_change(head)))
+        # image codecs (DCTDecode etc.) never carry page text: passthrough
     return raw
 
 
@@ -225,7 +306,7 @@ def expand_object_streams(objects: dict[int, bytes]) -> None:
             continue
         try:
             data = content_stream(objects, num)
-        except zlib.error:
+        except (zlib.error, ValueError):
             continue
         n_objs = _dict_int(objects, body, b"N")
         first = _dict_int(objects, body, b"First")
@@ -335,15 +416,35 @@ def parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
     return code_bytes, mapping
 
 
+def _font_encoding_value(objects: dict[int, bytes], font_body: bytes) -> bytes | None:
+    """The /Encoding entry's value bytes: a bare name token, an inline
+    ``<< ... >>`` dict, or the body of an indirectly-referenced dict."""
+    m = re.search(rb"/Encoding\s*", font_body)
+    if not m:
+        return None
+    rest = font_body[m.end():]
+    if rest.startswith(b"<<"):
+        return _balanced_dict(rest)
+    m2 = re.match(rb"(\d+)\s+\d+\s+R\b", rest)
+    if m2:
+        return objects.get(int(m2.group(1)))
+    m3 = re.match(rb"/[^\s/<>\[\]()]+", rest)
+    if m3:
+        return m3.group(0)
+    return None
+
+
 def page_fontmaps(
     objects: dict[int, bytes], page_num: int
 ) -> dict[str, tuple[int, dict[int, str]]]:
-    """Font name (e.g. '/F1') -> parsed ToUnicode map for one page.
+    """Font name (e.g. '/F1') -> decode map for one page.
 
-    Walks /Resources (inline or indirect) -> /Font -> each font ref ->
-    /ToUnicode stream. Fonts without a ToUnicode CMap are absent from the
-    result and decode as latin-1 bytes (the correct reading for the
-    standard unembedded fonts)."""
+    Walks /Resources (inline or indirect) -> /Font -> each font ref.
+    Per font, precedence follows the spec's recommendation:
+    /ToUnicode CMap when present; else a simple-font /Encoding (base
+    WinAnsi/MacRoman + /Differences glyph names, kernels/pdf_encodings);
+    fonts with neither are absent from the result and decode as latin-1
+    bytes (the correct reading for the standard unembedded fonts)."""
     body = objects.get(page_num, b"")
     res = _dict_value(objects, body, b"Resources")
     if res is None:
@@ -356,17 +457,23 @@ def page_fontmaps(
         font_body = objects.get(int(m.group(2)))
         if font_body is None:
             continue
+        key = "/" + m.group(1).decode("latin-1")
         tu = _dict_ref(font_body, b"ToUnicode")
-        if tu is None:
-            continue
-        try:
-            cmap_data = content_stream(objects, tu)
-        except zlib.error:
-            continue
-        if cmap_data:
-            code_bytes, mapping = parse_tounicode(cmap_data)
-            if mapping:
-                out["/" + m.group(1).decode("latin-1")] = (code_bytes, mapping)
+        if tu is not None:
+            try:
+                cmap_data = content_stream(objects, tu)
+            except (zlib.error, ValueError):
+                continue
+            if cmap_data:
+                code_bytes, mapping = parse_tounicode(cmap_data)
+                if mapping:
+                    out[key] = (code_bytes, mapping)
+                    continue
+        enc = _font_encoding_value(objects, font_body)
+        if enc is not None:
+            enc_map = parse_encoding(enc)
+            if enc_map:
+                out[key] = (1, enc_map)
     return out
 
 

@@ -8,7 +8,8 @@ blocks directly (ocr/service.py:1611-1625). textractor is an AWS client
 library (not in this environment and out of scope), so this kernel is a
 from-scratch deterministic analog over the same block model:
 
-- blocks: list of dicts with BlockType in {PAGE, LINE, WORD, TABLE, CELL},
+- blocks: list of dicts with BlockType in {PAGE, LINE, WORD, TABLE, CELL,
+  MERGED_CELL, KEY_VALUE_SET, SELECTION_ELEMENT},
   Id, Relationships [{Type: CHILD, Ids: [...]}], Text (WORD/LINE),
   RowIndex/ColumnIndex/RowSpan/ColumnSpan (CELL), Geometry
   {BoundingBox: {Top, Left, ...}} — the documented Textract response shape.
@@ -50,8 +51,16 @@ def _cell_text(cell: dict, by_id: dict[str, dict]) -> str:
     words = []
     for wid in _child_ids(cell):
         w = by_id.get(wid)
-        if w and w.get("BlockType") == "WORD" and w.get("Text"):
+        if not w:
+            continue
+        if w.get("BlockType") == "WORD" and w.get("Text"):
             words.append(w["Text"])
+        elif w.get("BlockType") == "SELECTION_ELEMENT":
+            # textractor renders checkbox children as :selected:/:unselected:
+            # tokens inside cells and key-value values (AnalyzeDocument
+            # SelectionStatus in {SELECTED, NOT_SELECTED}).
+            status = w.get("SelectionStatus")
+            words.append(":selected:" if status == "SELECTED" else ":unselected:")
     return " ".join(words)
 
 

@@ -82,7 +82,7 @@ def ensure_corpus(rows: int) -> str:
 
 
 def run_probe(cores: int, input_path: str, pin: str | None = None,
-              spinner_cores: list[int] | None = None) -> dict:
+              spinner_cores: list[int] | None = None, reps: int = 3) -> dict:
     """Run one extraction probe in a fresh JVM.
 
     pin: cpu-list string for taskset (e.g. "0-7") — the probe subprocess
@@ -96,7 +96,8 @@ def run_probe(cores: int, input_path: str, pin: str | None = None,
             p.start()
             spinners.append(p)
         cmd = [sys.executable, os.path.join(REPO, "jobs", "extract_bench.py"),
-               "--cores", str(cores), "--input", input_path]
+               "--cores", str(cores), "--input", input_path,
+               "--reps", str(reps)]
         if pin:
             if shutil.which("taskset"):
                 cmd = ["taskset", "-c", pin] + cmd
@@ -133,6 +134,11 @@ def main() -> int:
                     help="skip the unpinned raw low-parallelism arm")
     ap.add_argument("--report-only", action="store_true",
                     help="regenerate BENCH.md from bench_history.jsonl without probing")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed repetitions per arm (best-of-N; raise on a "
+                         "noisy host — external tenant bursts only ever slow "
+                         "a rep, so min over more reps is strictly more "
+                         "noise-robust)")
     args = ap.parse_args()
 
     factor = args.high / args.low
@@ -143,14 +149,15 @@ def main() -> int:
         # structural arm first (the headline number), then high, then raw
         low_pinned = run_probe(
             args.low, input_path, pin=f"0-{args.low - 1}",
-            spinner_cores=list(range(args.low, args.high)))
-        high = run_probe(args.high, input_path, pin=f"0-{args.high - 1}")
+            spinner_cores=list(range(args.low, args.high)), reps=args.reps)
+        high = run_probe(args.high, input_path, pin=f"0-{args.high - 1}",
+                         reps=args.reps)
         eff_pinned = (high["docs_per_sec"] / low_pinned["docs_per_sec"]) / factor
 
         low_raw = None
         eff_raw = None
         if not args.skip_raw:
-            low_raw = run_probe(args.low, input_path)
+            low_raw = run_probe(args.low, input_path, reps=args.reps)
             eff_raw = (high["docs_per_sec"] / low_raw["docs_per_sec"]) / factor
 
         summary = {

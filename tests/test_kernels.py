@@ -339,6 +339,56 @@ def test_textract_key_value_set_forms():
     assert md == "**Account Number:** 12345\nordinary prose\n**Signature:**"
 
 
+def test_textract_selection_elements():
+    """SELECTION_ELEMENT checkboxes render as :selected:/:unselected: in
+    both key-value values and table cells (textractor's convention)."""
+    from intelligent_document_processing_on_aws_spark.kernels.textract_blocks import (
+        blocks_to_markdown,
+        table_to_markdown,
+    )
+
+    blocks = [
+        {"BlockType": "WORD", "Id": "kw1", "Text": "Married"},
+        {"BlockType": "SELECTION_ELEMENT", "Id": "s1",
+         "SelectionStatus": "SELECTED"},
+        {"BlockType": "KEY_VALUE_SET", "Id": "v1", "EntityTypes": ["VALUE"],
+         "Relationships": [{"Type": "CHILD", "Ids": ["s1"]}]},
+        {"BlockType": "KEY_VALUE_SET", "Id": "k1", "EntityTypes": ["KEY"],
+         "Geometry": {"BoundingBox": {"Top": 0.10, "Left": 0.1}},
+         "Relationships": [{"Type": "CHILD", "Ids": ["kw1"]},
+                           {"Type": "VALUE", "Ids": ["v1"]}]},
+        {"BlockType": "SELECTION_ELEMENT", "Id": "s2",
+         "SelectionStatus": "NOT_SELECTED"},
+        {"BlockType": "KEY_VALUE_SET", "Id": "v2", "EntityTypes": ["VALUE"],
+         "Relationships": [{"Type": "CHILD", "Ids": ["s2"]}]},
+        {"BlockType": "KEY_VALUE_SET", "Id": "k2", "EntityTypes": ["KEY"],
+         "Geometry": {"BoundingBox": {"Top": 0.20, "Left": 0.1}},
+         "Relationships": [{"Type": "CHILD", "Ids": ["kw2"]},
+                           {"Type": "VALUE", "Ids": ["v2"]}]},
+        {"BlockType": "WORD", "Id": "kw2", "Text": "Veteran"},
+    ]
+    md = blocks_to_markdown(blocks)
+    assert md == "**Married:** :selected:\n**Veteran:** :unselected:"
+
+    # table cell: words then checkbox, joined in child order
+    cell_blocks = [
+        {"BlockType": "WORD", "Id": "w1", "Text": "agree"},
+        {"BlockType": "SELECTION_ELEMENT", "Id": "s3",
+         "SelectionStatus": "SELECTED"},
+        {"BlockType": "CELL", "Id": "c1", "RowIndex": 1, "ColumnIndex": 1,
+         "Relationships": [{"Type": "CHILD", "Ids": ["w1", "s3"]}]},
+        {"BlockType": "SELECTION_ELEMENT", "Id": "s4",
+         "SelectionStatus": "NOT_SELECTED"},
+        {"BlockType": "CELL", "Id": "c2", "RowIndex": 1, "ColumnIndex": 2,
+         "Relationships": [{"Type": "CHILD", "Ids": ["s4"]}]},
+    ]
+    table = {"BlockType": "TABLE", "Id": "t1",
+             "Relationships": [{"Type": "CHILD", "Ids": ["c1", "c2"]}]}
+    by_id = {b["Id"]: b for b in cell_blocks}
+    md = table_to_markdown(table, by_id)
+    assert "agree :selected:" in md and ":unselected:" in md
+
+
 def test_textract_blocks_empty_and_tableless():
     from intelligent_document_processing_on_aws_spark.kernels.textract_blocks import (
         blocks_to_markdown,

@@ -726,3 +726,249 @@ def test_ocr_json_routes_through_dispatch():
     ctype, res = extract_page(schema_doc)
     assert ctype == "text"
     assert "BlockType" in res.extracted_text
+
+
+# ---------------------------------------------------------------------------
+# Simple-font /Encoding (+/Differences) and the filter cascade (round-3)
+# ---------------------------------------------------------------------------
+
+
+def test_glyph_names_resolve():
+    from intelligent_document_processing_on_aws_spark.kernels.pdf_encodings import (
+        glyph_to_text,
+    )
+
+    assert glyph_to_text("quotesingle") == "'"
+    assert glyph_to_text("emdash") == "—"
+    assert glyph_to_text("Euro") == "€"
+    assert glyph_to_text("fi") == "ﬁ"
+    assert glyph_to_text("uni0041") == "A"
+    assert glyph_to_text("u1F600") == "\U0001f600"
+    assert glyph_to_text("a") == "a"
+    assert glyph_to_text("nonexistentglyph") is None
+
+
+def test_parse_encoding_winansi_and_differences():
+    from intelligent_document_processing_on_aws_spark.kernels.pdf_encodings import (
+        parse_encoding,
+    )
+
+    # bare-name form: WinAnsi differs from latin-1 exactly in 0x80-0x9F
+    m = parse_encoding(b"/WinAnsiEncoding")
+    assert m[0x93] == "“" and m[0x94] == "”"  # smart quotes
+    assert m[0x80] == "€" and 0x41 not in m
+    # dict form: base + Differences override
+    enc = (b"<< /BaseEncoding /WinAnsiEncoding "
+           b"/Differences [ 65 /emdash 66 /uni0042 200 /bullet /Euro ] >>")
+    m = parse_encoding(enc)
+    assert m[65] == "—"
+    assert 66 not in m  # uni0042 = 'B' agrees with latin-1 -> no entry
+    assert m[200] == "•" and m[201] == "€"  # consecutive codes
+    assert m[0x93] == "“"  # base survives
+    # MacRoman: 0xD5 is a curly quote, not latin-1 Otilde
+    m = parse_encoding(b"/MacRomanEncoding")
+    assert m[0xD5] == "’"
+    # StandardEncoding / unknown: nothing differs
+    assert parse_encoding(b"/StandardEncoding") is None
+
+
+def test_font_with_differences_encoding_e2e():
+    """A font with /Encoding /Differences but NO ToUnicode decodes through
+    the glyph-name map; latin-1 would show the raw byte instead."""
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        extract_real_pdf,
+    )
+
+    # code 0x27 shown between words is /quoteright (TeX's apostrophe swap)
+    content = b"BT /F3 12 Tf 72 700 Td (don\x27t stop) Tj ET"
+    enc = b"<< /Differences [ 39 /quoteright ] >>"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R "
+        b"/Resources << /Font << /F3 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /Encoding " + enc
+        + b" >>\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert extract_real_pdf(pdf).extracted_text == "don’t stop"
+
+
+def test_tounicode_beats_encoding_when_both_present():
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        page_fontmaps,
+        scan_objects,
+    )
+
+    cmap = (b"1 begincodespacerange <00> <ff> endcodespacerange\n"
+            b"1 beginbfchar <41> <005A> endbfchar")
+    pdf = (
+        b"3 0 obj\n<< /Type /Page /Resources << /Font << /F1 5 0 R >> >> "
+        b">>\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Encoding /WinAnsiEncoding "
+        b"/ToUnicode 6 0 R >>\nendobj\n"
+        b"6 0 obj\n<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+        + cmap + b"\nendstream\nendobj\n"
+    )
+    fm = page_fontmaps(scan_objects(pdf), 3)
+    width, mapping = fm["/F1"]
+    assert mapping[0x41] == "Z" and 0x93 not in mapping
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Minimal PDF-flavored LZW encoder (test-only) mirroring the decoder's
+    width schedule: starts with a clear code, ends with EOD."""
+    table = {bytes([i]): i for i in range(256)}
+    size, width = 258, 9
+    codes: list[tuple[int, int]] = [(256, 9)]
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], width))
+        table[wc] = size
+        size += 1
+        # the decoder's table add lags the encoder's by one code, so the
+        # encoder widens one add later than its own size would suggest
+        if size - 1 >= (1 << width) - early and width < 12:
+            width += 1
+        w = bytes([b])
+    if w:
+        codes.append((table[w], width))
+    codes.append((257, width))
+    bitbuf = bitcnt = 0
+    out = bytearray()
+    for code, cw in codes:
+        bitbuf = (bitbuf << cw) | code
+        bitcnt += cw
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_roundtrip_and_kwkwk():
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        lzw_decode,
+    )
+
+    for payload in (
+        b"",
+        b"a",
+        b"abababababab",          # KwKwK pattern
+        b"the quick brown fox " * 40,
+        bytes(range(256)) * 6,    # forces 10-bit codes (width growth)
+    ):
+        assert lzw_decode(_lzw_encode(payload)) == payload
+
+
+def test_lzw_property_roundtrip():
+    import random
+
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        lzw_decode,
+    )
+
+    rng = random.Random(42)
+    for trial in range(20):
+        n = rng.randrange(0, 4000)
+        # skewed alphabet -> repeated phrases -> dictionary growth
+        payload = bytes(rng.choice(b"abcde\n ") for _ in range(n))
+        assert lzw_decode(_lzw_encode(payload)) == payload, f"trial {trial}"
+
+
+def test_filter_cascade_ascii85_flate():
+    """/Filter [ /ASCII85Decode /FlateDecode ] applies left-to-right."""
+    import base64
+    import zlib
+
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        extract_real_pdf,
+    )
+
+    content = b"BT /F1 12 Tf 72 700 Td (cascade works) Tj ET"
+    armored = base64.a85encode(zlib.compress(content), adobe=True)[2:]  # strip <~
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(armored)).encode()
+        + b" /Filter [ /ASCII85Decode /FlateDecode ] >>\nstream\n"
+        + armored + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert extract_real_pdf(pdf).extracted_text == "cascade works"
+
+
+def test_filter_asciihex():
+    import binascii
+
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        extract_real_pdf,
+    )
+
+    content = b"BT /F1 12 Tf 72 700 Td (hex path) Tj ET"
+    armored = binascii.hexlify(content) + b">"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(armored)).encode()
+        + b" /Filter /ASCIIHexDecode >>\nstream\n"
+        + armored + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert extract_real_pdf(pdf).extracted_text == "hex path"
+
+
+def test_lzw_content_stream_e2e():
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        extract_real_pdf,
+    )
+
+    content = b"BT /F1 12 Tf 72 700 Td (lzw path) Tj ET"
+    packed = _lzw_encode(content)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(packed)).encode()
+        + b" /Filter /LZWDecode >>\nstream\n"
+        + packed + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert extract_real_pdf(pdf).extracted_text == "lzw path"
+
+
+def test_corrupt_lzw_and_a85_contained():
+    """Garbage filter payloads must degrade to the error column, never
+    raise out of the safe wrapper."""
+    from intelligent_document_processing_on_aws_spark.kernels.extract import (
+        extract_page_safe,
+    )
+
+    for filt in (b"/LZWDecode", b"/ASCII85Decode", b"[ /ASCII85Decode /FlateDecode ]"):
+        garbage = b"\xff\xfe\xfd\xfc not valid at all \x00\x01"
+        pdf = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length " + str(len(garbage)).encode()
+            + b" /Filter " + filt + b" >>\nstream\n"
+            + garbage + b"\nendstream\nendobj\n%%EOF\n"
+        )
+        ctype, res, err = extract_page_safe(pdf)
+        # contained: either the error row shape or an empty-but-clean result
+        assert ctype in ("pdf", "error")
+        assert err is None or isinstance(err, str)
