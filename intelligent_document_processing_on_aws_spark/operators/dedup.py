@@ -149,14 +149,20 @@ DEFAULT_MAX_BUCKET = 500
 def _cap_buckets(
     df: DataFrame, key_cols: list[str], max_bucket: int | None
 ) -> DataFrame:
-    """Drop rows whose key appears in more than max_bucket rows."""
+    """Drop rows whose key appears in more than max_bucket rows.
+
+    Broadcast anti-join against the (tiny) violator set: the groupBy
+    partial-aggregates map-side, so a degenerate bucket is counted and
+    excluded without its member rows ever being shuffled by bucket key —
+    the same skew discipline as the shingle max_df cap."""
     if max_bucket is None:
         return df
-    counts = df.groupBy(*key_cols).agg(F.count("*").alias("_bdf"))
-    return (
-        df.join(counts.where(F.col("_bdf") <= max_bucket), key_cols)
-        .drop("_bdf")
+    violators = (
+        df.groupBy(*key_cols).agg(F.count("*").alias("_bdf"))
+        .where(F.col("_bdf") > max_bucket)
+        .select(*key_cols)
     )
+    return df.join(F.broadcast(violators), key_cols, "left_anti")
 
 
 def lsh_dropped_buckets(
