@@ -263,3 +263,85 @@ def test_tj_gap_join_invariants(arr):
     assert out.count("  ") <= concat.count("  ")
     assert len(out) - len(concat) <= max(0, len(strs) - 1)
     assert out.replace(" ", "") == concat.replace(" ", "")
+
+
+# -- PDF filter codecs + simple-font encodings (round-3) ---------------------
+
+
+@given(st.binary(max_size=3000))
+@settings(max_examples=60, deadline=None)
+def test_ascii85_roundtrip(data):
+    import base64
+
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        _ascii85_decode,
+    )
+
+    armored = base64.a85encode(data, adobe=True)[2:]  # PDF form: no <~
+    assert _ascii85_decode(armored) == data
+    # whitespace anywhere in the armor is legal
+    spaced = b"\n".join(armored[i:i + 7] for i in range(0, len(armored), 7))
+    assert _ascii85_decode(spaced) == data
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=60, deadline=None)
+def test_asciihex_roundtrip(data):
+    import binascii
+
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        _asciihex_decode,
+    )
+
+    assert _asciihex_decode(binascii.hexlify(data) + b">") == data
+    assert _asciihex_decode(binascii.hexlify(data).upper() + b">") == data
+
+
+@given(st.text(alphabet="abcdef \n\t", max_size=4000).map(str.encode))
+@settings(max_examples=40, deadline=None)
+def test_lzw_roundtrip_property(data):
+    from intelligent_document_processing_on_aws_spark.fixtures.realpdf_gen import (
+        _lzw_encode,
+    )
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        lzw_decode,
+    )
+
+    assert lzw_decode(_lzw_encode(data)) == data
+
+
+@given(st.binary(max_size=1500))
+@settings(max_examples=40, deadline=None)
+def test_lzw_roundtrip_arbitrary_bytes(data):
+    from intelligent_document_processing_on_aws_spark.fixtures.realpdf_gen import (
+        _lzw_encode,
+    )
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        lzw_decode,
+    )
+
+    assert lzw_decode(_lzw_encode(data)) == data
+
+
+@given(st.lists(st.sampled_from(sorted(
+    __import__("intelligent_document_processing_on_aws_spark.kernels.pdf_encodings",
+               fromlist=["GLYPH_NAMES"]).GLYPH_NAMES)), min_size=1, max_size=12,
+    unique=True), st.integers(32, 250))
+@settings(max_examples=60, deadline=None)
+def test_differences_mapping_consistent(names, start):
+    """Every code assigned through a /Differences run decodes to its
+    glyph's text (or falls back to latin-1 when the glyph text equals it)."""
+    from intelligent_document_processing_on_aws_spark.kernels.pdf_encodings import (
+        GLYPH_NAMES,
+        parse_encoding,
+    )
+
+    diffs = f"{start} " + " ".join("/" + n for n in names)
+    mapping = parse_encoding(f"<< /Differences [ {diffs} ] >>".encode()) or {}
+    for k, name in enumerate(names):
+        code = start + k
+        if code > 255:
+            continue
+        want = GLYPH_NAMES[name]
+        got = mapping.get(code, bytes([code]).decode("latin-1"))
+        assert got == want
