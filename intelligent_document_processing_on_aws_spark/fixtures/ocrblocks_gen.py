@@ -9,9 +9,11 @@ emitted lines-first then tables; reading order must come from the boxes,
 not list order), table-only pages, empty pages, and KEY_VALUE_SET form
 pairs (FeatureTypes=FORMS shape: KEY/VALUE EntityTypes, VALUE
 relationships, empty values, plus the duplicate prose LINE Textract also
-emits over the same words — must be dropped), and SELECTION_ELEMENT
+emits over the same words — must be dropped), SELECTION_ELEMENT
 checkboxes both as form values and inside table cells (rendered
-:selected:/:unselected:, textractor's convention).
+:selected:/:unselected:, textractor's convention), and LAYOUT blocks
+(TITLE -> `# `, SECTION_HEADER -> `## ` heading renders that consume
+their child LINEs; TEXT/LIST/FOOTER containers transparent).
 
 The golden markdown is assembled by this generator's own walk of the
 template items in construction order — the kernel never runs here; the one
@@ -76,10 +78,43 @@ def gen_ocrblocks_doc(i: int) -> dict:
         n_items = 3 + rng.randrange(6)
 
     force_table = r < 0.12 and rng.random() < 0.7
+    saw_title = False
     for k in range(n_items):
         kind_draw = rng.random()
         is_table = force_table if n_items == 1 else kind_draw < 0.3
         is_form = not is_table and n_items > 1 and kind_draw >= 0.78
+        is_heading = (not is_table and not is_form and n_items > 1
+                      and 0.68 <= kind_draw < 0.78)
+        if is_heading:
+            # LAYOUT_TITLE (first heading) / LAYOUT_SECTION_HEADER wrap
+            # 1-2 child LINEs; the kernel renders them as #/## headings
+            # and must consume the LINEs from the prose flow
+            n_hl = 1 + (rng.random() < 0.3)
+            line_ids, texts = [], []
+            for _ in range(n_hl):
+                text = _words(rng, 2, 5)
+                wblocks, wids = _word_blocks(ids, text)
+                lines.extend(wblocks)
+                lid = ids.next("l")
+                lines.append({
+                    "BlockType": "LINE", "Id": lid, "Text": text,
+                    "Geometry": _bbox(top + 0.001),
+                    "Relationships": [{"Type": "CHILD", "Ids": wids}],
+                })
+                line_ids.append(lid)
+                texts.append(text)
+            btype = "LAYOUT_SECTION_HEADER" if saw_title else "LAYOUT_TITLE"
+            prefix = "## " if saw_title else "# "
+            saw_title = True
+            lines.append({
+                "BlockType": btype, "Id": ids.next("y"),
+                "Geometry": _bbox(top),
+                "Relationships": [{"Type": "CHILD", "Ids": line_ids}],
+            })
+            golden_items.append(prefix + " ".join(texts))
+            golden_kinds.append("line")
+            top += 0.03
+            continue
         if is_form:
             # -- FORMS: 1-3 KEY_VALUE_SET pairs + the duplicate prose LINE
             # Textract also emits over the same words (must be dropped)
@@ -141,11 +176,21 @@ def gen_ocrblocks_doc(i: int) -> dict:
             text = _words(rng, 3, 8)
             wblocks, wids = _word_blocks(ids, text)
             lines.extend(wblocks)
+            lid = ids.next("l")
             lines.append({
-                "BlockType": "LINE", "Id": ids.next("l"), "Text": text,
+                "BlockType": "LINE", "Id": lid, "Text": text,
                 "Geometry": _bbox(top),
                 "Relationships": [{"Type": "CHILD", "Ids": wids}],
             })
+            if rng.random() < 0.15:
+                # transparent LAYOUT container (TEXT/LIST/FOOTER): the
+                # prose line must emit unchanged, no heading prefix
+                lines.append({
+                    "BlockType": rng.choice(
+                        ["LAYOUT_TEXT", "LAYOUT_LIST", "LAYOUT_FOOTER"]),
+                    "Id": ids.next("y"), "Geometry": _bbox(top),
+                    "Relationships": [{"Type": "CHILD", "Ids": [lid]}],
+                })
             golden_items.append(text)
             golden_kinds.append("line")
             top += 0.03

@@ -29,6 +29,11 @@ from-scratch deterministic analog over the same block model:
   blocks whose child words form the value; rendered as ``**key:** value``
   lines (textractor's form rendering) at the KEY's geometry, with the
   claimed-word LINE dedup extended to form words.
+- LAYOUT blocks (FeatureTypes=LAYOUT): LAYOUT_TITLE renders its child
+  LINEs as ``# ...`` and LAYOUT_SECTION_HEADER as ``## ...`` —
+  textractor's markdown linearization prefixes — consuming those LINEs
+  from the prose flow; other LAYOUT_* containers (TEXT/LIST/FOOTER/...)
+  are transparent: their lines emit as ordinary prose.
 
 Pure functions over plain dicts: executed only inside Arrow-batched
 mapInPandas, never per-row Python in a Spark plan.
@@ -127,6 +132,22 @@ def blocks_to_markdown(blocks: list[dict]) -> str:
                 claimed_words.update(_child_ids(cell))
 
     items: list[tuple[tuple[float, float], str, str]] = []
+    # LAYOUT: TITLE/SECTION_HEADER containers render their child LINEs as
+    # markdown headings and consume them from the prose flow
+    claimed_lines: set[str] = set()
+    _HEADING = {"LAYOUT_TITLE": "# ", "LAYOUT_SECTION_HEADER": "## "}
+    for b in blocks:
+        prefix = _HEADING.get(b.get("BlockType") or "")
+        if prefix is None:
+            continue
+        texts: list[str] = []
+        for cid in _child_ids(b):
+            child = by_id.get(cid)
+            if child and child.get("BlockType") == "LINE" and child.get("Text"):
+                texts.append(child["Text"])
+                claimed_lines.add(cid)
+        if texts:
+            items.append((_top_left(b), "line", prefix + " ".join(texts)))
     # FORMS: KEY_VALUE_SET pairs -> "**key:** value" lines; their words are
     # claimed so the duplicate prose LINEs Textract also emits are dropped
     for b in blocks:
@@ -152,6 +173,8 @@ def blocks_to_markdown(blocks: list[dict]) -> str:
             )
     for b in blocks:
         if b.get("BlockType") == "LINE" and b.get("Text"):
+            if b.get("Id") in claimed_lines:
+                continue  # rendered as a layout heading above
             wids = _child_ids(b)
             if wids and all(w in claimed_words for w in wids):
                 continue  # the line is a table row; the grid renders it

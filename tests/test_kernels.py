@@ -488,3 +488,36 @@ def test_reporting_flatten_and_stringify():
         "g": "x",
         "h": "{}",
     }
+
+
+def test_textract_layout_headings():
+    """LAYOUT_TITLE/SECTION_HEADER render as #/## headings consuming their
+    child LINEs; other LAYOUT_* containers are transparent."""
+    from intelligent_document_processing_on_aws_spark.kernels.textract_blocks import (
+        blocks_to_markdown,
+    )
+
+    def line(lid, text, top, wids):
+        return [{"BlockType": "WORD", "Id": w, "Text": t}
+                for w, t in wids] + [{
+            "BlockType": "LINE", "Id": lid, "Text": text,
+            "Geometry": {"BoundingBox": {"Top": top, "Left": 0.1}},
+            "Relationships": [{"Type": "CHILD", "Ids": [w for w, _ in wids]}],
+        }]
+
+    blocks = []
+    blocks += line("l1", "Annual Report", 0.05, [("w1", "Annual"), ("w2", "Report")])
+    blocks.append({"BlockType": "LAYOUT_TITLE", "Id": "y1",
+                   "Geometry": {"BoundingBox": {"Top": 0.05, "Left": 0.1}},
+                   "Relationships": [{"Type": "CHILD", "Ids": ["l1"]}]})
+    blocks += line("l2", "ordinary prose", 0.10, [("w3", "ordinary"), ("w4", "prose")])
+    # transparent container around the prose line: must NOT prefix it
+    blocks.append({"BlockType": "LAYOUT_TEXT", "Id": "y2",
+                   "Geometry": {"BoundingBox": {"Top": 0.10, "Left": 0.1}},
+                   "Relationships": [{"Type": "CHILD", "Ids": ["l2"]}]})
+    blocks += line("l3", "Revenue", 0.15, [("w5", "Revenue")])
+    blocks.append({"BlockType": "LAYOUT_SECTION_HEADER", "Id": "y3",
+                   "Geometry": {"BoundingBox": {"Top": 0.15, "Left": 0.1}},
+                   "Relationships": [{"Type": "CHILD", "Ids": ["l3"]}]})
+    md = blocks_to_markdown(blocks)
+    assert md == "# Annual Report\nordinary prose\n## Revenue"
