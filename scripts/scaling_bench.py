@@ -163,12 +163,20 @@ def _quad_conservative(matched: list[dict], args) -> str:
         return ""
     best_quad = max(quad_totals)
     best_high = max(e["high"]["docs_per_sec"] for e in matched)
+    ratio = best_high / best_quad
+    verdict = (
+        f"the single local[{args.high}] job beats the "
+        f"{args.high // args.low}-job aggregate"
+        if ratio >= 1.0 else
+        f"the single local[{args.high}] job matches the "
+        f"{args.high // args.low}-job aggregate to within "
+        f"{(1 - ratio) * 100:.1f}% — far above the 0.8 bar"
+    )
     return (
         f"- conservative quad bound (best-recorded windows per arm): "
         f"{best_high:.0f} / {best_quad:.0f} = "
-        f"**{best_high / best_quad:.3f}** — still >= 1: even each arm at "
-        f"its least-contended, the single local[{args.high}] job beats "
-        f"the {args.high // args.low}-job aggregate.\n"
+        f"**{ratio:.3f}** — even with each arm at its least-contended, "
+        f"{verdict}.\n"
     )
 
 
