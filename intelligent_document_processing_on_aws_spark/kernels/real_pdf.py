@@ -50,6 +50,8 @@ from .pdf_encodings import parse_encoding
 from .pdf_layout import LINE_JOIN, assemble_blocks, reading_order_lines
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_ID_RE = re.compile(rb"\bID[\s]")
+_EI_RE = re.compile(rb"\sEI(?=\s|$)")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _NAME_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
@@ -683,6 +685,17 @@ def text_spans(
                 fname = stack.pop()
                 if isinstance(fname, _Name):
                     cur_cmap = (fontmaps or {}).get(str(fname))
+            elif op == b"BI":
+                # inline image: skip `BI <dict> ID <binary> EI` wholesale —
+                # the binary payload could contain byte sequences that look
+                # like strings or text operators and must never reach the
+                # tokenizer. EI delimited by whitespace is the standard
+                # repair-mode heuristic (the dict's /L length is optional).
+                m2 = _ID_RE.search(content, i)
+                start = m2.end() if m2 else i
+                m3 = _EI_RE.search(content, start)
+                i = m3.end() if m3 else n
+                stack.clear()
             elif not in_text:
                 stack.clear()
             elif op == b"Td" and len(stack) >= 2:

@@ -972,3 +972,33 @@ def test_corrupt_lzw_and_a85_contained():
         # contained: either the error row shape or an empty-but-clean result
         assert ctype in ("pdf", "error")
         assert err is None or isinstance(err, str)
+
+
+def test_inline_image_binary_never_fakes_text():
+    """`BI ... ID <binary> EI`: the binary payload (which here contains
+    byte sequences that look like a string show and a BT block) must be
+    skipped wholesale; surrounding real text still extracts."""
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        text_spans,
+    )
+
+    fake = b"(phantom) Tj BT 1 0 0 1 9 9 Tm (ghost) Tj ET \xff\x00\xfe"
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (before image) Tj ET\n"
+        b"BI /W 4 /H 4 /BPC 8 /CS /RGB ID " + fake + b"\nEI\n"
+        b"BT /F1 12 Tf 72 680 Td (after image) Tj ET"
+    )
+    texts = [s["text"] for s in text_spans(content, 1)]
+    assert texts == ["before image", "after image"]
+
+
+def test_inline_image_unterminated_contained():
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        text_spans,
+    )
+
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (kept) Tj ET\n"
+        b"BI /W 1 /H 1 ID \x00\x01\x02"  # no EI: rest of stream is image
+    )
+    assert [s["text"] for s in text_spans(content, 1)] == ["kept"]
