@@ -180,3 +180,36 @@ def test_ocr_table_markdown_plan_vectorized(spark):
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan  # row-parallel: no shuffle at all
+
+
+def test_round3_ngram_plan_hashed_keys_and_anti_join(spark):
+    """The shingle pipeline shuffles 8-byte xxhash64 keys (never the
+    shingle strings) and applies the df-cap as a broadcast LeftAnti join
+    against the violator set — no per-row Python anywhere."""
+    from intelligent_document_processing_on_aws_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared tokens") for i in range(50)],
+        "doc_id long, text string",
+    )
+    df = ngram_jaccard_pairs(docs, max_df=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "xxhash64" in plan
+    assert "LeftAnti" in plan and "BroadcastExchange" in plan
+    # the self-join keys on the hashed bigint column
+    assert "sh#" in plan
+
+
+def test_round3_bucket_cap_anti_join(spark):
+    from intelligent_document_processing_on_aws_spark.operators.dedup import (
+        _cap_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 3}") for i in range(30)], "doc_id long, band_key string")
+    plan = (_cap_buckets(df, ["band_key"], 5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "LeftAnti" in plan and "BroadcastExchange" in plan
