@@ -16,7 +16,10 @@ determined by Random(f"rpdf-{i}-42")):
   hex strings, multi-line TL/T*/'/" blocks, absolute Tm positioning;
 - literal-string escapes: \\( \\) \\\\ and octal;
 - content-stream comments and graphics noise (q/Q, colors, paths);
-- blocks written out of reading order (y-sort must restore it).
+- blocks written out of reading order (y-sort must restore it);
+- RC4 encryption (standard security handler, R2/40-bit and R3/128-bit,
+  random owner password, EMPTY user password): every stream payload
+  RC4'd with its per-object key, /Encrypt + /ID in the trailer.
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ import base64
 import binascii
 import json
 import random
+import re
 import zlib
 from datetime import timedelta
 
@@ -493,16 +497,66 @@ def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
     )
     objects[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
-    if rng.random() < 0.35:
+    r_ser = rng.random()
+    if r_ser < 0.35:
         out = _serialize_objstm_pdf(objects, next_num, rng)
+    elif r_ser < 0.55:
+        # RC4-encrypted classic layout (encryption predates ObjStm use:
+        # real RC4-era PDFs are overwhelmingly classic-serialized)
+        out = _serialize_classic_pdf(objects, encrypt_rng=rng)
     else:
         out = _serialize_classic_pdf(objects)
     golden = [ln for pg in page_lines for ln in pg]
     return bytes(out), golden
 
 
-def _serialize_classic_pdf(objects: dict[int, bytes]) -> bytes:
-    """PDF 1.4 form: every object top-level, classic xref table."""
+def _serialize_classic_pdf(objects: dict[int, bytes],
+                           encrypt_rng: random.Random | None = None) -> bytes:
+    """PDF 1.4 form: every object top-level, classic xref table. With
+    encrypt_rng, the document is RC4-encrypted per the standard security
+    handler (random owner password, EMPTY user password — the common
+    owner-protected web PDF): every stream payload is RC4'd with its
+    per-object key, /Encrypt + /ID land in the trailer."""
+    trailer_extra = ""
+    if encrypt_rng is not None:
+        from ..kernels.pdf_crypt import (
+            compute_o_value,
+            compute_u_value,
+            file_key,
+            object_key,
+            rc4,
+        )
+
+        rng = encrypt_rng
+        rev = 3 if rng.random() < 0.6 else 2
+        bits = 128 if rev == 3 else 40
+        v = 2 if rev == 3 else 1
+        owner_pwd = bytes(rng.randrange(33, 126) for _ in range(8))
+        p = -44  # typical print-allowed permission mask
+        id0 = bytes(rng.randrange(256) for _ in range(16))
+        o_val = compute_o_value(owner_pwd, b"", rev, bits)
+        key = file_key(o_val, p, id0, rev, key_bits=bits)
+        u_val = compute_u_value(key, id0, rev)
+        stream_re = re.compile(rb"stream\r?\n")
+        for num, body in list(objects.items()):
+            m = stream_re.search(body)
+            if not m:
+                continue
+            start = m.end()
+            end = body.rfind(b"\nendstream")
+            if end == -1:
+                end = len(body)
+            data = rc4(object_key(key, num, 0), body[start:end])
+            objects[num] = body[:start] + data + body[end:]
+        enc_num = max(objects) + 1
+        objects[enc_num] = (
+            f"<< /Filter /Standard /V {v} /R {rev} /Length {bits} "
+            f"/P {p} /O <{o_val.hex().upper()}> /U <{u_val.hex().upper()}> >>"
+        ).encode()
+        trailer_extra = (
+            f" /Encrypt {enc_num} 0 R /ID [ <{id0.hex().upper()}> "
+            f"<{id0.hex().upper()}> ]"
+        )
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num in sorted(objects):
@@ -515,7 +569,8 @@ def _serialize_classic_pdf(objects: dict[int, bytes]) -> bytes:
     for num in range(1, size):
         out += f"{offsets[num]:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {size} /Root 1 0 R >>\nstartxref\n{xref_at}\n"
+        f"trailer\n<< /Size {size} /Root 1 0 R{trailer_extra} >>\n"
+        f"startxref\n{xref_at}\n"
         "%%EOF\n"
     ).encode()
     return bytes(out)

@@ -20,7 +20,9 @@ streams need no parsing: the object scan is offset-table-free by design,
 so a /Type /XRef stream object is simply ignored.
 
 Deliberate scope (documented, tested):
-- text-extraction only: no rendering, fonts, images, or encryption;
+- text-extraction only: no rendering, font programs, or image decoding;
+  RC4 encryption (standard handler, empty user password) decrypts
+  transparently (kernels/pdf_crypt); AES/passworded documents error;
 - glyph-width-exact x advances are not computed (no font metrics): each
   show operator emits one span at the current text-line origin, so
   reading order relies on explicit positioning operators — true for the
@@ -46,6 +48,7 @@ import re
 import zlib
 
 from .boilerplate import ExtractionResult, Span
+from .pdf_crypt import object_key, parse_encryption, rc4
 from .pdf_encodings import parse_encoding
 from .pdf_layout import LINE_JOIN, assemble_blocks, reading_order_lines
 
@@ -71,6 +74,12 @@ def scan_objects(data: bytes) -> dict[int, bytes]:
             end = len(data)
         objects[int(m.group(1))] = data[m.end():end]
     return objects
+
+
+def scan_object_gens(data: bytes) -> dict[int, int]:
+    """Object number -> generation number (needed for per-object
+    decryption keys; only computed when the document is encrypted)."""
+    return {int(m.group(1)): int(m.group(2)) for m in _OBJ_RE.finditer(data)}
 
 
 def _dict_ref(body: bytes, key: bytes) -> int | None:
@@ -244,7 +253,8 @@ def _early_change(head: bytes) -> int:
     return int(m.group(1)) if m else 1
 
 
-def content_stream(objects: dict[int, bytes], num: int) -> bytes:
+def content_stream(objects: dict[int, bytes], num: int,
+                   crypt: dict | None = None) -> bytes:
     """Decode one content-stream object (filter cascade or raw).
 
     /Length is used when it resolves AND lands on ``endstream`` (binary
@@ -272,6 +282,10 @@ def content_stream(objects: dict[int, bytes], num: int) -> bytes:
         elif raw.endswith(b"\n") or raw.endswith(b"\r"):
             raw = raw[:-1]
     head = body[:start]
+    if crypt is not None:
+        # encryption is the OUTERMOST layer: decrypt, then filters
+        raw = rc4(object_key(crypt["key"], num,
+                             crypt.get("gens", {}).get(num, 0)), raw)
     # /Filter is a single name or an array applied left-to-right
     # (PDF 1.7 §7.4): ASCII armor first, then the compression filter,
     # whose output takes the (single) /DecodeParms predictor.
@@ -290,7 +304,8 @@ def content_stream(objects: dict[int, bytes], num: int) -> bytes:
     return raw
 
 
-def expand_object_streams(objects: dict[int, bytes]) -> None:
+def expand_object_streams(objects: dict[int, bytes],
+                          crypt: dict | None = None) -> None:
     """Unpack PDF 1.5 compressed object streams (``/Type /ObjStm``).
 
     An ObjStm's decoded data is ``N`` pairs of integers (object number,
@@ -307,7 +322,7 @@ def expand_object_streams(objects: dict[int, bytes]) -> None:
         if not re.search(rb"/Type\s*/ObjStm\b", body):
             continue
         try:
-            data = content_stream(objects, num)
+            data = content_stream(objects, num, crypt)
         except (zlib.error, ValueError):
             continue
         n_objs = _dict_int(objects, body, b"N")
@@ -323,7 +338,8 @@ def expand_object_streams(objects: dict[int, bytes]) -> None:
         objects.setdefault(num, body)
 
 
-def page_content(objects: dict[int, bytes], page_num: int) -> bytes:
+def page_content(objects: dict[int, bytes], page_num: int,
+                 crypt: dict | None = None) -> bytes:
     """Concatenate a page's /Contents stream(s) — the spec treats an array
     of streams as one logical stream with whitespace between parts."""
     body = objects.get(page_num, b"")
@@ -331,7 +347,7 @@ def page_content(objects: dict[int, bytes], page_num: int) -> bytes:
     if refs is None:
         one = _dict_ref(body, b"Contents")
         refs = [one] if one is not None else []
-    return b"\n".join(content_stream(objects, r) for r in refs)
+    return b"\n".join(content_stream(objects, r, crypt) for r in refs)
 
 
 # -- fonts: ToUnicode CMaps ---------------------------------------------------
@@ -437,7 +453,7 @@ def _font_encoding_value(objects: dict[int, bytes], font_body: bytes) -> bytes |
 
 
 def page_fontmaps(
-    objects: dict[int, bytes], page_num: int
+    objects: dict[int, bytes], page_num: int, crypt: dict | None = None
 ) -> dict[str, tuple[int, dict[int, str]]]:
     """Font name (e.g. '/F1') -> decode map for one page.
 
@@ -463,7 +479,7 @@ def page_fontmaps(
         tu = _dict_ref(font_body, b"ToUnicode")
         if tu is not None:
             try:
-                cmap_data = content_stream(objects, tu)
+                cmap_data = content_stream(objects, tu, crypt)
             except (zlib.error, ValueError):
                 continue
             if cmap_data:
@@ -751,14 +767,23 @@ def text_spans(
 
 
 def extract_real_pdf(content: bytes) -> ExtractionResult:
-    """Full-document text extraction for a genuine %PDF byte stream."""
+    """Full-document text extraction for a genuine %PDF byte stream.
+
+    RC4-encrypted documents (standard security handler, empty user
+    password — the common owner-protected shape on the web) decrypt
+    transparently (kernels/pdf_crypt); AES or passworded documents raise
+    UnsupportedEncryption, degrading to the error column rather than
+    emitting garbage bytes."""
     objects = scan_objects(content)
-    expand_object_streams(objects)
+    crypt = parse_encryption(objects, content)
+    if crypt is not None:
+        crypt["gens"] = scan_object_gens(content)
+    expand_object_streams(objects, crypt)
     spans: list[dict] = []
     for idx, pnum in enumerate(page_object_numbers(objects), start=1):
         spans.extend(text_spans(
-            page_content(objects, pnum), idx,
-            fontmaps=page_fontmaps(objects, pnum),
+            page_content(objects, pnum, crypt), idx,
+            fontmaps=page_fontmaps(objects, pnum, crypt),
         ))
     if not spans:
         return ExtractionResult("", [], 0.0, 0)

@@ -1002,3 +1002,96 @@ def test_inline_image_unterminated_contained():
         b"BI /W 1 /H 1 ID \x00\x01\x02"  # no EI: rest of stream is image
     )
     assert [s["text"] for s in text_spans(content, 1)] == ["kept"]
+
+
+# ---------------------------------------------------------------------------
+# RC4 encryption (standard security handler) — round-3
+# ---------------------------------------------------------------------------
+
+
+def _encrypted_pdf(rev: int) -> bytes:
+    import random
+
+    from intelligent_document_processing_on_aws_spark.fixtures.realpdf_gen import (
+        _serialize_classic_pdf,
+    )
+
+    content = b"BT /F1 12 Tf 72 700 Td (secret stays readable) Tj ET"
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: (b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream"),
+    }
+    rng = random.Random(f"enc-{rev}")
+    # pin revision via the serializer's draw: force by retrying seeds
+    while True:
+        objs = dict(objects)
+        pdf = _serialize_classic_pdf(objs, encrypt_rng=rng)
+        if f"/R {rev}".encode() in pdf:
+            return pdf
+        rng = random.Random(f"enc-{rev}-{rng.random()}")
+
+
+def test_rc4_encrypted_pdf_extracts():
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        extract_real_pdf,
+    )
+
+    for rev in (2, 3):
+        pdf = _encrypted_pdf(rev)
+        assert b"secret" not in pdf  # stream really is ciphertext
+        assert extract_real_pdf(pdf).extracted_text == "secret stays readable"
+
+
+def test_rc4_vectors_pinned():
+    """RC4 itself against the public test vectors (RFC 6229 spot values)."""
+    from intelligent_document_processing_on_aws_spark.kernels.pdf_crypt import rc4
+
+    # classic 'Key'/'Plaintext' vector
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+    assert rc4(b"Secret", b"Attack at dawn").hex() == "45a01f645fc35b383552544b9bf5"
+
+
+def test_unsupported_encryption_errors_cleanly():
+    from intelligent_document_processing_on_aws_spark.kernels.extract import (
+        extract_page_safe,
+    )
+
+    # AES (V4) document: must land in the error column, not garbage text
+    pdf = (
+        b"%PDF-1.6\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 4 >>\nstream\n\x01\x02\x03\x04\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44 "
+        b"/O <" + b"00" * 32 + b"> /U <" + b"00" * 32 + b"> "
+        b"/CF << /StdCF << /CFM /AESV2 >> >> >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Encrypt 5 0 R /ID [ <AABB> <AABB> ] >>\n"
+        b"%%EOF\n"
+    )
+    ctype, res, err = extract_page_safe(pdf)
+    assert ctype == "error" and "encryption" in (err or "").lower()
+
+
+def test_encrypt_token_in_content_not_false_positive():
+    """A page whose TEXT mentions /Encrypt must not trip detection —
+    only trailer/XRef regions are searched."""
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        extract_real_pdf,
+    )
+
+    content = b"BT /F1 12 Tf 72 700 Td (the /Encrypt 9 0 R entry) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_real_pdf(pdf).extracted_text == "the /Encrypt 9 0 R entry"
