@@ -27,9 +27,28 @@ W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 S_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
 
+def _run_text(r) -> str:  # noqa: ANN001
+    """Document-order text of ONE w:r run, mapping <w:tab/> -> '\\t' and
+    <w:br/>/<w:cr/> -> '\\n' exactly as python-docx's run.text does (the
+    reference reads run.text, document_converter.py:288-301) — joining
+    only w:t nodes silently drops that whitespace. Must be applied to
+    runs, never whole paragraphs: w:tab under w:pPr/w:tabs is a tab STOP
+    definition, not a tab character."""
+    parts: list[str] = []
+    for node in r.iter():
+        tag = node.tag
+        if tag == f"{W_NS}t":
+            parts.append(node.text or "")
+        elif tag == f"{W_NS}tab":
+            parts.append("\t")
+        elif tag in (f"{W_NS}br", f"{W_NS}cr"):
+            parts.append("\n")
+    return "".join(parts)
+
+
 def _docx_cell_text(tc) -> str:  # noqa: ANN001
     return " ".join(
-        "".join(t.text or "" for t in p.iter(f"{W_NS}t"))
+        "".join(_run_text(r) for r in p.iter(f"{W_NS}r"))
         for p in tc.iter(f"{W_NS}p")
     ).strip()
 
@@ -44,7 +63,7 @@ def _toggle_on(el) -> bool:  # noqa: ANN001
 def _run_info(r) -> dict | None:  # noqa: ANN001
     """One w:r -> reference run_info shape (document_converter.py:288-301:
     text, bold, italic, underline, font_size, font_name)."""
-    text = "".join(t.text or "" for t in r.iter(f"{W_NS}t"))
+    text = _run_text(r)
     if not text:
         return None
     rpr = r.find(f"{W_NS}rPr")

@@ -303,3 +303,36 @@ def test_grayscale_luma_matches_pil_formula():
                    dtype=np.uint8)
     # PIL 'L': (R*299 + G*587 + B*114) // 1000
     assert to_grayscale(rgb).tolist() == [[76, 149, 29, 255]]
+
+
+def test_docx_tab_break_and_hyperlink_runs():
+    """<w:tab/> -> \\t, <w:br/> -> \\n inside runs (python-docx run.text
+    parity); hyperlink-wrapped runs keep their text; w:pPr/w:tabs tab
+    STOPS contribute nothing."""
+    import io
+    import zipfile
+
+    from intelligent_document_processing_on_aws_spark.kernels.office import (
+        docx_to_parts,
+    )
+
+    doc_xml = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        "<w:p>"
+        "<w:pPr><w:tabs><w:tab w:val='left' w:pos='720'/></w:tabs></w:pPr>"
+        "<w:r><w:t>name</w:t><w:tab/><w:t>value</w:t></w:r>"
+        "</w:p>"
+        "<w:p><w:r><w:t>line one</w:t><w:br/><w:t>line two</w:t></w:r></w:p>"
+        "<w:p><w:hyperlink><w:r><w:t>linked text</w:t></w:r></w:hyperlink></w:p>"
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", doc_xml)
+    parts = docx_to_parts(buf.getvalue())
+    assert parts[0] == "name\tvalue"
+    assert parts[1] == "line one\nline two"
+    assert parts[2] == "linked text"
