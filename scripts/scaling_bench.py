@@ -371,6 +371,21 @@ def main() -> int:
             f"above 1.0 are favorable-direction noise, not real "
             f"super-linearity)\n"
         )
+        inter = sorted(
+            e["efficiency_pinned"] for e in pinned_runs
+            if e.get("efficiency_pinned") is not None
+            and e.get("low_pinned", {}).get("interleaved")
+        )
+        if inter:
+            imid = len(inter) // 2
+            imed = (inter[imid] if len(inter) % 2
+                    else (inter[imid - 1] + inter[imid]) / 2)
+            median_section += (
+                f"- same metric, restricted to the interleaved-scheduling "
+                f"runs (both arms sampling the same noise window — the "
+                f"methodologically fairer subset, see Steady-state timing "
+                f"below): {len(inter)} runs, median **{imed:.3f}**\n"
+            )
     quad_effs = sorted(
         e["efficiency_quad"] for e in matched
         if e.get("efficiency_quad") is not None
