@@ -42,7 +42,32 @@ class UnsupportedEncryption(ValueError):
     """Raised for AES / non-Standard / broken encryption dictionaries."""
 
 
+try:  # C-speed RC4 via pyca/cryptography when available (~100x PRGA)
+    from cryptography.hazmat.primitives.ciphers import Cipher as _Cipher
+
+    try:  # moved in cryptography >= 43
+        from cryptography.hazmat.decrepit.ciphers.algorithms import (
+            ARC4 as _ARC4,
+        )
+    except ImportError:  # pragma: no cover - version-dependent
+        from cryptography.hazmat.primitives.ciphers.algorithms import (
+            ARC4 as _ARC4,
+        )
+except ImportError:  # pragma: no cover - env-dependent
+    _Cipher = None
+
+
 def rc4(key: bytes, data: bytes) -> bytes:
+    # the C backend accepts only its enumerated key sizes (40/56/64/80/
+    # 128/... bits) — standard PDF keys (40-bit files, 80/128-bit object
+    # keys) all qualify; anything else (odd /Length, short test vectors)
+    # falls through to the pure-Python implementation
+    if _Cipher is not None:
+        try:
+            enc = _Cipher(_ARC4(key), mode=None).encryptor()
+            return enc.update(data) + enc.finalize()
+        except ValueError:
+            pass
     S = list(range(256))
     j = 0
     klen = len(key)
@@ -54,8 +79,11 @@ def rc4(key: bytes, data: bytes) -> bytes:
     for k, c in enumerate(data):
         i = (i + 1) & 0xFF
         j = (j + S[i]) & 0xFF
-        S[i], S[j] = S[j], S[i]
-        out[k] = c ^ S[(S[i] + S[j]) & 0xFF]
+        si = S[i]
+        sj = S[j]
+        S[i] = sj
+        S[j] = si
+        out[k] = c ^ S[(si + sj) & 0xFF]
     return bytes(out)
 
 
