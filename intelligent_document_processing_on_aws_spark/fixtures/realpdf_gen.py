@@ -520,23 +520,51 @@ def _serialize_classic_pdf(objects: dict[int, bytes],
     trailer_extra = ""
     if encrypt_rng is not None:
         from ..kernels.pdf_crypt import (
+            aes_cbc_encrypt,
+            aesv2_object_key,
             compute_o_value,
             compute_u_value,
             file_key,
             object_key,
+            r6_author_values,
             rc4,
         )
 
         rng = encrypt_rng
-        rev = 3 if rng.random() < 0.6 else 2
-        bits = 128 if rev == 3 else 40
-        v = 2 if rev == 3 else 1
+        mode_draw = rng.random()
+        if mode_draw < 0.25:
+            mode, rev, bits, v = "rc4", 2, 40, 1
+        elif mode_draw < 0.6:
+            mode, rev, bits, v = "rc4", 3, 128, 2
+        elif mode_draw < 0.8:
+            mode, rev, bits, v = "aesv2", 4, 128, 4
+        else:
+            mode, rev, bits, v = "aes256", 6, 256, 5
         owner_pwd = bytes(rng.randrange(33, 126) for _ in range(8))
         p = -44  # typical print-allowed permission mask
         id0 = bytes(rng.randrange(256) for _ in range(16))
-        o_val = compute_o_value(owner_pwd, b"", rev, bits)
-        key = file_key(o_val, p, id0, rev, key_bits=bits)
-        u_val = compute_u_value(key, id0, rev)
+        if mode == "aes256":
+            key = bytes(rng.randrange(256) for _ in range(32))
+            vsalt = bytes(rng.randrange(256) for _ in range(8))
+            ksalt = bytes(rng.randrange(256) for _ in range(8))
+            u_val, ue_val = r6_author_values(key, b"", vsalt, ksalt)
+            o_val = bytes(rng.randrange(256) for _ in range(48))
+            oe_val = bytes(rng.randrange(256) for _ in range(32))
+            extra = (
+                f" /UE <{ue_val.hex().upper()}> /OE <{oe_val.hex().upper()}>"
+                f" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+                f" /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+            )
+        else:
+            o_val = compute_o_value(owner_pwd, b"", rev, bits)
+            key = file_key(o_val, p, id0, rev, key_bits=bits)
+            u_val = compute_u_value(key, id0, min(rev, 3))
+            extra = ""
+            if mode == "aesv2":
+                extra = (
+                    " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+                    " /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+                )
         stream_re = re.compile(rb"stream\r?\n")
         for num, body in list(objects.items()):
             m = stream_re.search(body)
@@ -546,12 +574,32 @@ def _serialize_classic_pdf(objects: dict[int, bytes],
             end = body.rfind(b"\nendstream")
             if end == -1:
                 end = len(body)
-            data = rc4(object_key(key, num, 0), body[start:end])
-            objects[num] = body[:start] + data + body[end:]
+            plain = body[start:end]
+            if mode == "rc4":
+                data = rc4(object_key(key, num, 0), plain)
+            else:
+                iv = bytes(rng.randrange(256) for _ in range(16))
+                okey = (aesv2_object_key(key, num, 0)
+                        if mode == "aesv2" else key)
+                data = aes_cbc_encrypt(okey, iv, plain)
+            body = body[:start] + data + body[end:]
+            if mode != "rc4":
+                # AES padding + IV change the stream length: rewrite
+                # /Length (direct, or the referenced bare-integer object)
+                mlen = re.search(rb"/Length\s+(\d+)\s+\d+\s+R\b",
+                                 body[:start])
+                if mlen:
+                    objects[int(mlen.group(1))] = str(len(data)).encode()
+                else:
+                    body = re.sub(rb"/Length\s+\d+",
+                                  b"/Length " + str(len(data)).encode(),
+                                  body, count=1)
+            objects[num] = body
         enc_num = max(objects) + 1
         objects[enc_num] = (
             f"<< /Filter /Standard /V {v} /R {rev} /Length {bits} "
-            f"/P {p} /O <{o_val.hex().upper()}> /U <{u_val.hex().upper()}> >>"
+            f"/P {p} /O <{o_val.hex().upper()}> /U <{u_val.hex().upper()}>"
+            f"{extra} >>"
         ).encode()
         trailer_extra = (
             f" /Encrypt {enc_num} 0 R /ID [ <{id0.hex().upper()}> "

@@ -1,4 +1,5 @@
-"""Standard-security-handler RC4 decryption for PDFs (V 1/2, R 2/3).
+"""Standard-security-handler decryption for PDFs: RC4 (V 1/2/4, R 2-4),
+AESV2 (V4/R4), and AES-256 (V5/R6).
 
 A large share of crawled PDFs are "owner-protected": encrypted with a
 non-empty OWNER password but an EMPTY user password, which every viewer
@@ -12,10 +13,14 @@ algorithms with stdlib only (hashlib MD5 + a 20-line RC4):
   padding string; R3: MD5(pad + id0) RC4'd through 20 XOR-derived keys).
 - Per-object keys: MD5(key || objnum LE3 || gen LE2)[:min(n+5, 16)].
 
+AES support (gated on pyca/cryptography, import-tried): AESV2 streams
+use MD5-derived per-object keys + 'sAlT' suffix (PDF 1.7 §7.6.2); V5/R6
+derives the file key from /U + /UE via the ISO 32000-2 Algorithm 2.A/2.B
+iterated hash and uses it directly (16-byte IV prefix, CBC, PKCS#5).
 Encryption is the OUTERMOST stream layer: decrypt first, then filters
-(kernels/real_pdf.content_stream). AES (V>=4 with AESV2/V3) and
-non-Standard filters stay out of scope — they raise UnsupportedEncryption
-so the row degrades to the error column instead of emitting garbage.
+(kernels/real_pdf.content_stream). Non-Standard filters, unknown CFMs,
+and non-empty user passwords raise UnsupportedEncryption so the row
+degrades to the error column instead of emitting garbage.
 
 Role-matches the reference's PyMuPDF ingestion
 (lib/idp_common_pkg/idp_common/ocr/service.py:1144-1252), which gets
@@ -92,7 +97,8 @@ def _pad_password(pwd: bytes) -> bytes:
 
 
 def file_key(o_value: bytes, p: int, id0: bytes, revision: int,
-             key_bits: int = 40, user_pwd: bytes = b"") -> bytes:
+             key_bits: int = 40, user_pwd: bytes = b"",
+             encrypt_metadata: bool = True) -> bytes:
     """Algorithm 2: the file encryption key."""
     n = key_bits // 8
     h = hashlib.md5()
@@ -100,6 +106,8 @@ def file_key(o_value: bytes, p: int, id0: bytes, revision: int,
     h.update(o_value[:32])
     h.update(struct.pack("<i", p))
     h.update(id0)
+    if revision >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if revision >= 3:
         for _ in range(50):
@@ -142,7 +150,7 @@ def compute_u_value(key: bytes, id0: bytes, revision: int) -> bytes:
 
 def verify_user_password(key: bytes, u_value: bytes, id0: bytes,
                          revision: int) -> bool:
-    expected = compute_u_value(key, id0, revision)
+    expected = compute_u_value(key, id0, min(revision, 3))
     if revision == 2:
         return expected == u_value[:32]
     return expected[:16] == u_value[:16]
@@ -247,14 +255,32 @@ def parse_encryption(objects: dict[int, bytes], raw: bytes) -> dict | None:
         raise UnsupportedEncryption("non-Standard security handler")
     v = _int_entry(enc_body, b"V", 0)
     r = _int_entry(enc_body, b"R", 2)
-    if v not in (1, 2) or r not in (2, 3):
-        raise UnsupportedEncryption(f"unsupported encryption V={v} R={r}")
     length = _int_entry(enc_body, b"Length", 40)
     o_value = _dict_string(enc_body, b"O")
     u_value = _dict_string(enc_body, b"U")
     p = _int_entry(enc_body, b"P", -1)
     if o_value is None or u_value is None:
         raise UnsupportedEncryption("missing /O or /U")
+    if v == 5 and r in (5, 6):
+        # AES-256 (PDF 2.0 / Extension Level 3): key comes from /U + /UE
+        ue_value = _dict_string(enc_body, b"UE")
+        if ue_value is None:
+            raise UnsupportedEncryption("missing /UE")
+        return {"cipher": "aes256", "key": r6_file_key(u_value, ue_value)}
+    if v == 4 and r == 4:
+        # crypt-filter indirection: /CF << /StdCF << /CFM /AESV2|/V2 >> >>
+        cfm = re.search(rb"/CFM\s*/(\w+)", enc_body)
+        cfm_name = cfm.group(1) if cfm else b"V2"
+        if cfm_name not in (b"AESV2", b"V2"):
+            raise UnsupportedEncryption(
+                f"unsupported crypt filter {cfm_name!r}")
+        cipher = "aesv2" if cfm_name == b"AESV2" else "rc4"
+    elif v in (1, 2) and r in (2, 3):
+        cipher = "rc4"
+    else:
+        raise UnsupportedEncryption(f"unsupported encryption V={v} R={r}")
+    encrypt_metadata = not re.search(
+        rb"/EncryptMetadata\s+false\b", enc_body)
     id_m = None
     for region in regions:
         id_m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", region)
@@ -263,12 +289,130 @@ def parse_encryption(objects: dict[int, bytes], raw: bytes) -> dict | None:
     if id_m is None:
         id_m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", raw)
     id0 = bytes.fromhex(id_m.group(1).decode("ascii")) if id_m else b""
-    key = file_key(o_value, p, id0, r, key_bits=length)
+    key = file_key(o_value, p, id0, r, key_bits=length,
+                   encrypt_metadata=encrypt_metadata)
     if not verify_user_password(key, u_value, id0, r):
         raise UnsupportedEncryption("non-empty user password")
-    return {"key": key}
+    return {"cipher": cipher, "key": key}
 
 
 def _int_entry(body: bytes, key: bytes, default: int) -> int:
     m = re.search(rb"/" + key + rb"\s+([+-]?\d+)", body)
     return int(m.group(1)) if m else default
+
+
+# -- AES filters (V4 AESV2 / V5 AES-256) -------------------------------------
+# Gated on pyca/cryptography (import-tried above for ARC4): when absent,
+# AES documents raise UnsupportedEncryption — the documented boundary.
+
+try:
+    from cryptography.hazmat.primitives.ciphers import Cipher as _AesCipher
+    from cryptography.hazmat.primitives.ciphers.algorithms import AES as _AES
+    from cryptography.hazmat.primitives.ciphers.modes import CBC as _CBC
+except ImportError:  # pragma: no cover - env-dependent
+    _AesCipher = None
+
+
+def _require_aes() -> None:
+    if _AesCipher is None:  # pragma: no cover - env-dependent
+        raise UnsupportedEncryption(
+            "AES-encrypted document and no AES backend available"
+        )
+
+
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AES stream/string payload: 16-byte IV prefix, AES-CBC body,
+    PKCS#5 padding (PDF 1.7 §7.6.2)."""
+    _require_aes()
+    if len(data) < 16:
+        return b""
+    iv, body = data[:16], data[16:]
+    body = body[: len(body) - len(body) % 16]
+    if not body:
+        return b""
+    dec = _AesCipher(_AES(key), _CBC(iv)).decryptor()
+    out = dec.update(body) + dec.finalize()
+    pad = out[-1] if out else 0
+    if 1 <= pad <= 16 and out.endswith(bytes([pad]) * pad):
+        out = out[:-pad]
+    return out
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Authoring twin (fixtures): PKCS#5-pad, prepend the IV."""
+    _require_aes()
+    pad = 16 - len(data) % 16
+    enc = _AesCipher(_AES(key), _CBC(iv)).encryptor()
+    return iv + enc.update(data + bytes([pad]) * pad) + enc.finalize()
+
+
+def _aes_nopad(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    _require_aes()
+    c = _AesCipher(_AES(key), _CBC(iv))
+    op = c.encryptor() if encrypt else c.decryptor()
+    return op.update(data) + op.finalize()
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B: the R6 iterated password hash
+    (SHA-256 -> 64+ rounds of AES-128-CBC over repeated input, hash
+    selected by the first 16 bytes' sum mod 3)."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_nopad(k[:16], k[16:32], k1, encrypt=True)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def r6_file_key(u_value: bytes, ue_value: bytes,
+                user_pwd: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.A (user-password path): /U is
+    hash(32) || validation_salt(8) || key_salt(8); the intermediate key
+    from the key salt AES-decrypts /UE (no padding, zero IV) into the
+    32-byte file key. Raises on a wrong (non-empty) user password."""
+    _require_aes()
+    if len(u_value) < 48 or len(ue_value) < 32:
+        raise UnsupportedEncryption("malformed R6 /U or /UE")
+    vsalt, ksalt = u_value[32:40], u_value[40:48]
+    if hash_2b(user_pwd, vsalt) != u_value[:32]:
+        raise UnsupportedEncryption("non-empty user password")
+    ikey = hash_2b(user_pwd, ksalt)
+    return _aes_nopad(ikey, b"\x00" * 16, ue_value[:32], encrypt=False)
+
+
+def r6_author_values(file_key: bytes, user_pwd: bytes = b"",
+                     vsalt: bytes = b"\x01" * 8,
+                     ksalt: bytes = b"\x02" * 8) -> tuple[bytes, bytes]:
+    """Authoring twin (fixtures): (/U, /UE) for a chosen file key."""
+    u = hash_2b(user_pwd, vsalt) + vsalt + ksalt
+    ikey = hash_2b(user_pwd, ksalt)
+    ue = _aes_nopad(ikey, b"\x00" * 16, file_key, encrypt=True)
+    return u, ue
+
+
+def aesv2_object_key(key: bytes, num: int, gen: int) -> bytes:
+    """AESV2 per-object key: MD5(key || num LE3 || gen LE2 || 'sAlT')
+    truncated like the RC4 variant (PDF 1.7 §7.6.2 step b)."""
+    h = hashlib.md5()
+    h.update(key)
+    h.update(struct.pack("<i", num)[:3])
+    h.update(struct.pack("<i", gen)[:2])
+    h.update(b"\x73\x41\x6c\x54")
+    return h.digest()[: min(len(key) + 5, 16)]
+
+
+def decrypt_stream(crypt: dict, num: int, gen: int, data: bytes) -> bytes:
+    """Dispatch stream decryption by the crypt context's cipher:
+    RC4 / AESV2 use per-object derived keys; AES-256 uses the file key
+    directly (ISO 32000-2 drops per-object derivation)."""
+    cipher = crypt.get("cipher", "rc4")
+    if cipher == "rc4":
+        return rc4(object_key(crypt["key"], num, gen), data)
+    if cipher == "aesv2":
+        return aes_cbc_decrypt(aesv2_object_key(crypt["key"], num, gen), data)
+    return aes_cbc_decrypt(crypt["key"], data)

@@ -21,8 +21,9 @@ so a /Type /XRef stream object is simply ignored.
 
 Deliberate scope (documented, tested):
 - text-extraction only: no rendering, font programs, or image decoding;
-  RC4 encryption (standard handler, empty user password) decrypts
-  transparently (kernels/pdf_crypt); AES/passworded documents error;
+  RC4, AESV2, and AES-256 encryption (standard handler, empty user
+  password) decrypt transparently (kernels/pdf_crypt); passworded or
+  exotic-handler documents error;
 - glyph-width-exact x advances are not computed (no font metrics): each
   show operator emits one span at the current text-line origin, so
   reading order relies on explicit positioning operators — true for the
@@ -48,7 +49,7 @@ import re
 import zlib
 
 from .boilerplate import ExtractionResult, Span
-from .pdf_crypt import object_key, parse_encryption, rc4
+from .pdf_crypt import decrypt_stream, parse_encryption
 from .pdf_encodings import parse_encoding
 from .pdf_layout import LINE_JOIN, assemble_blocks, reading_order_lines
 
@@ -284,8 +285,8 @@ def content_stream(objects: dict[int, bytes], num: int,
     head = body[:start]
     if crypt is not None:
         # encryption is the OUTERMOST layer: decrypt, then filters
-        raw = rc4(object_key(crypt["key"], num,
-                             crypt.get("gens", {}).get(num, 0)), raw)
+        raw = decrypt_stream(crypt, num,
+                             crypt.get("gens", {}).get(num, 0), raw)
     # /Filter is a single name or an array applied left-to-right
     # (PDF 1.7 §7.4): ASCII armor first, then the compression filter,
     # whose output takes the (single) /DecodeParms predictor.
