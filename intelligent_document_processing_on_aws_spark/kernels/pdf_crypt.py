@@ -219,6 +219,60 @@ def _dict_string(body: bytes, key: bytes) -> bytes | None:
     return bytes(out)
 
 
+def _top_level_dict(body: bytes) -> bytes:
+    """The first ``<< ... >>`` dict in ``body`` with nested sub-dicts
+    blanked to spaces (offsets preserved).
+
+    /Encrypt parsing must read /V /R /Length /P /O /U at the TOP level
+    only: a V4 dict that orders ``/CF << /StdCF << /CFM /AESV2 /Length
+    16 >> >>`` before its own /Length would otherwise leak the crypt
+    filter's byte count (16) into key_bits (ADVICE r3). Literal ``(...)``
+    strings and ``<hex>`` strings are skipped opaquely so their bytes
+    can't unbalance the depth count.
+    """
+    start = body.find(b"<<")
+    if start < 0:
+        return body
+    out = bytearray(body[:start])
+    depth = 0
+    i, n = start, len(body)
+    while i < n:
+        two = body[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            out += two if depth <= 1 else b"  "
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            out += two if depth <= 0 else b"  "
+            i += 2
+            if depth == 0:
+                break
+        elif body[i] == 0x28:  # ( literal string: skip with escapes/nesting
+            j, d = i + 1, 1
+            while j < n and d > 0:
+                c = body[j]
+                if c == 0x5C:
+                    j += 2
+                    continue
+                if c == 0x28:
+                    d += 1
+                elif c == 0x29:
+                    d -= 1
+                j += 1
+            out += body[i:j] if depth == 1 else b" " * (j - i)
+            i = j
+        elif body[i] == 0x3C:  # lone < : hex string
+            j = body.find(b">", i + 1)
+            j = n if j < 0 else j + 1
+            out += body[i:j] if depth == 1 else b" " * (j - i)
+            i = j
+        else:
+            out += body[i:i + 1] if depth == 1 else b" "
+            i += 1
+    return bytes(out)
+
+
 def parse_encryption(objects: dict[int, bytes], raw: bytes) -> dict | None:
     """Detect and parse the document's encryption: returns a crypt context
     ``{"key": file_key}`` when the document is RC4-encrypted with an empty
@@ -236,6 +290,11 @@ def parse_encryption(objects: dict[int, bytes], raw: bytes) -> dict | None:
     for body in objects.values():
         if re.search(rb"/Type\s*/XRef\b", body[:1024]):
             regions.append(body[:2048])
+    # incrementally-updated PDFs: the GOVERNING trailer is the one nearest
+    # the final %%EOF — iterate in reverse document order so an appended
+    # update that adds/changes encryption wins over a stale first trailer
+    # (ADVICE r3)
+    regions.reverse()
     m = None
     enc_body = None
     for region in regions:
@@ -253,17 +312,22 @@ def parse_encryption(objects: dict[int, bytes], raw: bytes) -> dict | None:
         return None
     if not re.search(rb"/Filter\s*/Standard\b", enc_body):
         raise UnsupportedEncryption("non-Standard security handler")
-    v = _int_entry(enc_body, b"V", 0)
-    r = _int_entry(enc_body, b"R", 2)
-    length = _int_entry(enc_body, b"Length", 40)
-    o_value = _dict_string(enc_body, b"O")
-    u_value = _dict_string(enc_body, b"U")
-    p = _int_entry(enc_body, b"P", -1)
+    # read scalar entries at the dict's TOP level only — a /CF sub-dict
+    # ordered before /Length carries its own '/Length 16' (byte count,
+    # not bits); V4's spec default for a missing top-level /Length is
+    # 128 bits, not 40 (PDF 1.7 Table 20)
+    top = _top_level_dict(enc_body)
+    v = _int_entry(top, b"V", 0)
+    r = _int_entry(top, b"R", 2)
+    length = _int_entry(top, b"Length", 128 if v >= 4 else 40)
+    o_value = _dict_string(top, b"O")
+    u_value = _dict_string(top, b"U")
+    p = _int_entry(top, b"P", -1)
     if o_value is None or u_value is None:
         raise UnsupportedEncryption("missing /O or /U")
     if v == 5 and r in (5, 6):
         # AES-256 (PDF 2.0 / Extension Level 3): key comes from /U + /UE
-        ue_value = _dict_string(enc_body, b"UE")
+        ue_value = _dict_string(top, b"UE")
         if ue_value is None:
             raise UnsupportedEncryption("missing /UE")
         return {"cipher": "aes256", "key": r6_file_key(u_value, ue_value)}
@@ -280,7 +344,7 @@ def parse_encryption(objects: dict[int, bytes], raw: bytes) -> dict | None:
     else:
         raise UnsupportedEncryption(f"unsupported encryption V={v} R={r}")
     encrypt_metadata = not re.search(
-        rb"/EncryptMetadata\s+false\b", enc_body)
+        rb"/EncryptMetadata\s+false\b", top)
     id_m = None
     for region in regions:
         id_m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", region)

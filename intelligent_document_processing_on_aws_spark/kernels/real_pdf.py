@@ -354,7 +354,12 @@ def page_content(objects: dict[int, bytes], page_num: int,
 # -- fonts: ToUnicode CMaps ---------------------------------------------------
 
 def _balanced_dict(data: bytes) -> bytes:
-    """The << ... >> block starting at data[0], nested dicts balanced."""
+    """The << ... >> block starting at data[0], nested dicts balanced.
+
+    ``<...>`` hex strings are skipped opaquely (mirroring the content
+    tokenizer's lone-``<`` branch): a hex string whose closing ``>``
+    abuts the dict terminator (``/ID <AB>>>``) would otherwise pair with
+    the first ``>`` of ``>>`` and truncate the dict (ADVICE r3)."""
     depth = i = 0
     n = len(data)
     while i < n:
@@ -367,6 +372,9 @@ def _balanced_dict(data: bytes) -> bytes:
             i += 2
             if depth == 0:
                 return data[:i]
+        elif data[i] == 0x3C:  # lone < : hex string, skip to its >
+            j = data.find(b">", i + 1)
+            i = n if j < 0 else j + 1
         else:
             i += 1
     return data

@@ -147,10 +147,14 @@ def evaluate_attributes(
     joined = joined.withColumn("threshold", F.coalesce("threshold", F.lit(0.8)))
 
     if embeddings is not None:
-        emb_e = embeddings.select(
+        # the lookup joins on the raw value column: enforce one vector per
+        # text, or duplicate rows would fan out matches and double-count
+        # tp/fp/fn (ADVICE r3)
+        emb = embeddings.dropDuplicates(["text"])
+        emb_e = emb.select(
             F.col("text").alias("expected"), F.col("embedding").alias("e_vec")
         )
-        emb_a = embeddings.select(
+        emb_a = emb.select(
             F.col("text").alias("actual"), F.col("embedding").alias("a_vec")
         )
         joined = joined.join(emb_e, "expected", "left").join(emb_a, "actual", "left")

@@ -309,3 +309,24 @@ def test_flatten_confidence_payloads_matches_golden(spark, fixtures_dir):
     want = {(r.doc_id, r.section_id, r.attr_path): (r.confidence, r.confidence_threshold)
             for r in golden.collect()}
     assert got == want
+
+
+def test_duplicate_embedding_rows_do_not_fanout(spark, fixtures_dir):
+    """The (text -> vector) lookup is deduplicated before joining on the
+    value columns: a duplicated text row must not multiply aligned rows
+    or double-count tp/fp/fn (ADVICE r3)."""
+    from pyspark.sql import functions as F
+
+    expected = _flat(spark, fixtures_dir, "flat_expected")
+    actual = _flat(spark, fixtures_dir, "flat_actual")
+    emb = spark.read.parquet(f"{fixtures_dir}/value_embeddings.parquet")
+    doubled = emb.unionAll(emb.limit(50))
+    base = evaluate_attributes(expected, actual, _eval_config_df(spark), emb)
+    dup = evaluate_attributes(expected, actual, _eval_config_df(spark), doubled)
+    key = ["doc_id", "section_id", "attr_path"]
+    cols = key + ["score", "tn", "fp", "fn", "tp", "fp1", "fp2"]
+    b = {tuple(r[c] for c in key): tuple(r[c] for c in cols[3:])
+         for r in base.select(cols).collect()}
+    d = {tuple(r[c] for c in key): tuple(r[c] for c in cols[3:])
+         for r in dup.select(cols).collect()}
+    assert b == d and len(b) > 500
