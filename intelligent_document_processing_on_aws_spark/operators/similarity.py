@@ -180,6 +180,16 @@ def build_ivf_centroids(
         embeddings.orderBy(id_col).limit(sample).select(vec_col).collect()
     )
     X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    return kmeans_centroids(X, n_centroids, n_iters, seed)
+
+
+def kmeans_centroids(
+    X: np.ndarray, n_centroids: int, n_iters: int = 5, seed: int = 42
+) -> np.ndarray:
+    """Pure spherical-k-means kernel over a (n, dim) float64 sample —
+    shared by the Spark index build (build_ivf_centroids) and the DuckDB
+    oracle twin (entry_queries._ivf_oracle_centroids), so both derive
+    bit-identical centroids from the same sample bytes."""
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rs = np.random.RandomState(seed)
     C = X[rs.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
@@ -345,6 +355,59 @@ def lsh_buckets(
     return embeddings.select(id_col, vec_col).mapInPandas(run, BUCKET_SCHEMA)
 
 
+QPROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("q_vec", T.ArrayType(T.FloatType())),
+        T.StructField("q_bucket", T.IntegerType()),
+    ]
+)
+
+
+def lsh_query_probes(
+    queries: DataFrame,
+    dim: int,
+    n_bits: int = 8,
+    n_probes: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """(query_id, q_vec, q_bucket) x n_probes — multi-probe LSH (Lv et al.,
+    VLDB 2007, simplified to single-bit perturbation): probe 1 is the
+    query's own bucket; probes 2..n flip the hyperplane bits with the
+    smallest projection magnitude |q . h_i| — the bits most likely to
+    disagree with a true near neighbor's. Distributed (one numpy matmul
+    per Arrow batch, planes in closure); probe buckets per query are
+    distinct, so a corpus vector (living in exactly one bucket) can never
+    enter the candidate set twice."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    n_probes = max(1, min(n_probes, n_bits + 1))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            M = np.stack(pdf["q_vec"].to_numpy()).astype(np.float64)
+            proj = M @ planes.T                      # (n, n_bits)
+            base = ((proj > 0) @ weights).astype(np.int64)
+            probes = [base]
+            if n_probes > 1:
+                order = np.argsort(np.abs(proj), axis=1)  # ascending margin
+                for j in range(n_probes - 1):
+                    probes.append(base ^ weights[order[:, j]])
+            stacked = np.stack(probes, axis=1)       # (n, n_probes)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy().repeat(n_probes),
+                    "q_vec": [v for v in pdf["q_vec"] for _ in range(n_probes)],
+                    "q_bucket": stacked.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return queries.select("query_id", "q_vec").mapInPandas(run, QPROBE_SCHEMA)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     dim: int,
@@ -352,6 +415,7 @@ def lsh_topk(
     n_queries: int = 10,
     k: int = 5,
     n_bits: int = 8,
+    n_probes: int = 3,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -359,8 +423,11 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates from same-bucket vectors, exact cosine
     re-rank. queries: (query_id, q_vec) DataFrame, bucketed with the SAME
-    hyperplanes as the corpus. Single-probe per query (demo recall;
-    production would multi-probe neighboring buckets)."""
+    hyperplanes as the corpus. Multi-probe (default 3 buckets/query):
+    each query also probes the buckets reached by flipping its
+    lowest-|margin| hyperplane bits (lsh_query_probes), recovering most
+    of the recall lost to near-boundary bit flips at ~n_probes x the
+    candidate volume — still ~corpus * n_probes / 2^n_bits per query."""
     qdf, auto_excl = _query_df(embeddings, queries, n_queries, id_col, vec_col)
     if exclude_self is None:
         exclude_self = auto_excl
@@ -369,12 +436,7 @@ def lsh_topk(
         embeddings[id_col].alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"), "bucket",
     )
-    q_buckets = lsh_buckets(
-        qdf, dim, n_bits, seed, id_col="query_id", vec_col="q_vec"
-    ).select(F.col("vec_id").alias("qb_id"), F.col("bucket").alias("q_bucket"))
-    q = qdf.join(q_buckets, qdf["query_id"] == q_buckets["qb_id"]).select(
-        "query_id", "q_vec", "q_bucket"
-    )
+    q = lsh_query_probes(qdf, dim, n_bits, n_probes, seed)
     cond = F.col("bucket") == F.col("q_bucket")
     if exclude_self:
         cond = cond & (F.col("neighbor_id") != F.col("query_id"))

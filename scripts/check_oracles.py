@@ -53,6 +53,10 @@ def main() -> int:
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
 
+    # data-derived oracles (IVF centroids) must read the SAME tables the
+    # SQL runs against
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = args.sf_dir
+
     import __spark_entry__ as entry_mod
     from intelligent_document_processing_on_aws_spark.session import get_spark
 

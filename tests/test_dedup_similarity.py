@@ -397,3 +397,41 @@ def test_repeated_passages_boilerplate_detection(spark):
                for p in out), out
     # min_df gate: nothing from the unique doc
     assert not any("unique" in p for p in out)
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """Multi-probe (flip lowest-|margin| bits) vs single-probe at n_bits=10:
+    recall against exact brute force must strictly improve on planted
+    near-neighbors, and every probe set must contain distinct buckets."""
+    from intelligent_document_processing_on_aws_spark.operators.similarity import (
+        lsh_query_probes,
+    )
+
+    rng = np.random.RandomState(23)
+    base = rng.normal(size=(100, 16)).astype(np.float32)
+    near = base + rng.normal(scale=0.08, size=base.shape).astype(np.float32)
+    vecs = np.vstack([base, near])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    truth = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(df, n_queries=20, k=1).collect()}
+
+    def recall(n_probes):
+        got = {(r.query_id, r.neighbor_id)
+               for r in lsh_topk(df, dim=16, n_queries=20, k=1, n_bits=10,
+                                 n_probes=n_probes).collect()}
+        return len(truth & got) / len(truth)
+
+    r1, r3, r5 = recall(1), recall(3), recall(5)
+    assert r3 > r1, (r1, r3)           # probing neighbor buckets helps
+    assert r5 >= r3, (r3, r5)          # monotone in probe count
+    assert r5 >= 0.6, r5               # and lands at usable recall
+
+    # probe invariants: n_probes distinct buckets per query, first = own
+    q = df.where("vec_id < 20").selectExpr(
+        "vec_id as query_id", "embedding as q_vec")
+    probes = lsh_query_probes(q, dim=16, n_bits=10, n_probes=5).collect()
+    by_q = {}
+    for r in probes:
+        by_q.setdefault(r.query_id, []).append(r.q_bucket)
+    assert all(len(v) == 5 and len(set(v)) == 5 for v in by_q.values())
