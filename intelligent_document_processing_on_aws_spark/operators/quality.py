@@ -1,0 +1,154 @@
+"""Gopher/C4-style document-quality signals as a Spark curation operator.
+
+Two execution tiers, chosen per signal by its complexity class:
+
+- linear, stateless signals (symbol/word ratio, ellipsis- and
+  bullet-line fractions, alphabetic-word fraction) are native Catalyst
+  higher-order array expressions — whole-stage-codegen'd, zero Python;
+- repetition signals (duplicate lines, top-n-gram char mass) need a
+  per-document frequency table; they run in ONE Arrow-batched
+  mapInPandas over the pure kernel (kernels/quality.repetition_signals,
+  O(length) per doc). Map-only: the operator introduces NO shuffle, so
+  at 100 TB it scales exactly like the extraction stage itself.
+
+The gate thresholds (DEFAULT_GATES) follow the published Gopher rules
+(Rae et al. 2021, Table A1): repetition-heavy documents are dropped
+before the near-dup stage ever sees them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels.quality import REPETITION_COLS, repetition_signals
+
+# Gopher Table A1 (public paper): documents exceeding any of these are
+# repetition-dominated and excluded from the training corpus
+DEFAULT_GATES = {
+    "dup_line_fraction": 0.30,
+    "dup_line_char_fraction": 0.20,
+    "top2gram_char_fraction": 0.20,
+    "top3gram_char_fraction": 0.18,
+    "top4gram_char_fraction": 0.16,
+    "symbol_word_ratio": 0.10,
+}
+
+
+def _trunc6(c: Column) -> Column:
+    """floor(x * 1e6) / 1e6 — the engine-invariant quantization the pure
+    kernel uses (kernels/quality.trunc6); F.round is mode-ambiguous vs
+    DuckDB on exact .5 ulps."""
+    return F.floor(c * 1e6) / 1e6
+
+
+def _count_literal(col: Column, lit: str) -> Column:
+    """Non-overlapping occurrence count of a literal substring."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(lit), F.lit("")))) \
+        / len(lit)
+
+
+def _lines(col: Column) -> Column:
+    trimmed = F.transform(
+        F.split(col, "\n"), lambda x: F.trim(x, F.lit(" \t\r"))
+    )
+    return F.filter(trimmed, lambda x: x != "")
+
+
+def _words(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+
+
+def symbol_word_ratio(col: Column) -> Column:
+    """(# of '#' + '...' + ellipsis chars) / words — Gopher's symbol ratio."""
+    symbols = (
+        _count_literal(col, "#")
+        + _count_literal(F.replace(col, F.lit("…"), F.lit("...")), "...")
+    )
+    nw = F.size(_words(col))
+    return F.when(nw == 0, 0.0).otherwise(_trunc6(symbols / nw))
+
+
+def ellipsis_line_fraction(col: Column) -> Column:
+    lines = _lines(col)
+    n = F.size(lines)
+    ends = F.filter(
+        lines, lambda x: x.endswith("...") | x.endswith("…")
+    )
+    return F.when(n == 0, 0.0).otherwise(_trunc6(F.size(ends) / n))
+
+
+def bullet_line_fraction(col: Column) -> Column:
+    lines = _lines(col)
+    n = F.size(lines)
+    bullets = F.filter(
+        lines,
+        lambda x: x.startswith("- ") | x.startswith("* ")
+        | x.startswith("•"),
+    )
+    return F.when(n == 0, 0.0).otherwise(_trunc6(F.size(bullets) / n))
+
+
+def alpha_word_fraction(col: Column) -> Column:
+    words = _words(col)
+    nw = F.size(words)
+    alpha = F.filter(words, lambda x: x.rlike("[a-z]"))
+    return F.when(nw == 0, 0.0).otherwise(_trunc6(F.size(alpha) / nw))
+
+
+_REPETITION_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType())]
+    + [T.StructField(c, T.DoubleType()) for c in REPETITION_COLS]
+)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, dup_line_fraction, dup_line_char_fraction,
+    top{2,3,4}gram_char_fraction) — one map-only Arrow pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sig = [repetition_signals(t) for t in pdf[text_col]]
+            out = {"doc_id": pdf["doc_id"]}
+            for j, c in enumerate(REPETITION_COLS):
+                out[c] = [s[j] for s in sig]
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", text_col).mapInPandas(run, _REPETITION_SCHEMA)
+
+
+def doc_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality-signal table: repetition signals (Arrow
+    kernel) joined with the native columnar signals, keyed by doc_id.
+
+    The join is doc_id-equi on two children of the same scan; Catalyst
+    plans it as one shuffle on doc_id at fixture scale and the repetition
+    side can be computed in the same stage as the scan at cluster scale
+    (map-only lineage)."""
+    t = F.col(text_col)
+    native = docs.select(
+        "doc_id",
+        symbol_word_ratio(t).alias("symbol_word_ratio"),
+        ellipsis_line_fraction(t).alias("ellipsis_line_fraction"),
+        bullet_line_fraction(t).alias("bullet_line_fraction"),
+        alpha_word_fraction(t).alias("alpha_word_fraction"),
+    )
+    return repetition_stats(docs, text_col).join(native, "doc_id")
+
+
+def quality_gate_ids(
+    docs: DataFrame, text_col: str = "text", gates: dict | None = None
+) -> DataFrame:
+    """doc_ids that PASS every repetition/quality gate (Gopher A1)."""
+    gates = DEFAULT_GATES if gates is None else gates
+    q = doc_quality(docs, text_col)
+    cond = F.lit(True)
+    for name, cap in gates.items():
+        cond = cond & (F.col(name) <= cap)
+    return q.where(cond).select("doc_id")

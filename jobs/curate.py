@@ -9,8 +9,11 @@ candidate set):
      quality score, token counts — pure native columns;
   2. quality gate: keep lang in --langs with quality >= --min-quality and
      token_count in [--min-tokens, --max-tokens];
-  3. exact dedup (hash groupBy) keeps one doc per identical text;
-  4. near-dup MinHash-LSH pairs -> connected components -> canonical only.
+  3. Gopher repetition gate (operators/quality): duplicate-line and
+     top-n-gram char-mass caps + symbol ratio — repetition-dominated docs
+     never reach the near-dup stage (Rae et al. 2021 ordering);
+  4. exact dedup (hash groupBy) keeps one doc per identical text;
+  5. near-dup MinHash-LSH pairs -> connected components -> canonical only.
 
 All stages are shuffle-lean: stats are map-only; the quality gate pushes
 into the scan; exact dedup is one hash aggregation; LSH is banded
@@ -20,8 +23,8 @@ funnel line per stage.
 Usage:
   python jobs/curate.py --input /root/testdata/sf0.01/documents.parquet \
       --output /tmp/idp_curated [--min-quality 0.3] [--langs en]
-Prints one JSON line {"docs", "after_quality", "after_exact", "kept",
-"sec", ...}.
+Prints one JSON line {"docs", "after_quality", "after_repetition",
+"after_exact", "kept", "sec", ...}.
 """
 
 from __future__ import annotations
@@ -37,6 +40,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from intelligent_document_processing_on_aws_spark.operators import textstats as ts  # noqa: E402
+from intelligent_document_processing_on_aws_spark.operators.quality import (  # noqa: E402
+    quality_gate_ids,
+)
 from intelligent_document_processing_on_aws_spark.operators.dedup import (  # noqa: E402
     DEFAULT_MAX_BUCKET,
     duplicate_groups,
@@ -84,6 +90,10 @@ def main() -> int:
     gated = docs.join(gate_ids, "doc_id")
     n_quality = gate_ids.count()
 
+    # Gopher repetition gate: one map-only Arrow pass over the survivors
+    gated = gated.join(quality_gate_ids(gated), "doc_id")
+    n_repetition = gated.count()
+
     exact = exact_dedup(gated)  # (doc_id, content_hash, ..., is_duplicate)
     exact_keep = exact.where(~F.col("is_duplicate")).select("doc_id")
 
@@ -112,6 +122,7 @@ def main() -> int:
     print(json.dumps({
         "docs": n_docs,
         "after_quality": n_quality,
+        "after_repetition": n_repetition,
         "after_exact": n_exact,
         "kept": n_kept,
         "sec": round(time.time() - t0, 2),

@@ -1,0 +1,124 @@
+"""Gopher/C4 quality-signal operators (operators/quality, kernels/quality)."""
+
+from __future__ import annotations
+
+import numpy as np  # noqa: F401  (session fixture import parity)
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from intelligent_document_processing_on_aws_spark.kernels.quality import (
+    REPETITION_COLS,
+    repetition_signals,
+    trunc6,
+)
+
+
+def test_repetition_signals_hand_computed():
+    # 4 lines, one duplicated pair 'X' (1 char each); 'a b c' appears once
+    # as a line plus a run-on line
+    text = "a b c\nX\nX\na b c a b c a b c"
+    dup_f, dup_cf, g2, g3, g4 = repetition_signals(text)
+    assert dup_f == trunc6(1 / 4)
+    # dup chars: one extra 'X' instance = 1 char; line chars = 5+1+1+17...
+    assert dup_cf == trunc6(1 / (5 + 1 + 1 + 17))
+    # words: a b c a b c a b c a b c (12); top 2-gram 'a b' count 4, len 3
+    assert g2 == trunc6(4 * 3 / len(text))
+    assert g3 == trunc6(4 * 5 / len(text))  # 'a b c' x4 (wraps across \n)
+    assert g4 == trunc6(2 * 7 / len(text))  # 'a b c a' x2
+
+
+def test_repetition_signals_edges():
+    assert repetition_signals("") == (0.0, 0.0, 0.0, 0.0, 0.0)
+    assert repetition_signals("\n\n  \n\t\n") == (0.0, 0.0, 0.0, 0.0, 0.0)
+    assert repetition_signals("one") == (0.0, 0.0, 0.0, 0.0, 0.0)
+    # all lines identical
+    dup_f, dup_cf, *_ = repetition_signals("same\nsame\nsame")
+    assert dup_f == trunc6(2 / 3) and dup_cf == trunc6(8 / 12)
+
+
+def test_top_ngram_tie_break_char_mass_invariant():
+    # two 2-grams tie at count 2: 'aa bb' (len 5) and 'bb aa' (len 5) —
+    # the emitted char mass is identical whichever wins
+    text = "aa bb aa bb aa"
+    *_, g2, g3, g4 = repetition_signals(text)
+    assert g2 == trunc6(2 * 5 / len(text))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=" abX#.\n…\t", max_size=400))
+def test_repetition_signal_invariants(text):
+    sig = repetition_signals(text)
+    dup_f, dup_cf = sig[0], sig[1]
+    assert 0.0 <= dup_f <= 1.0 and 0.0 <= dup_cf <= 1.0
+    for v in sig[2:]:
+        assert v >= 0.0  # char mass may exceed 1 when occurrences overlap
+    # quantization: 6dp exact
+    for v in sig:
+        assert v == trunc6(v)
+
+
+def test_doc_quality_spark_matches_kernel(spark):
+    """Arrow-kernel columns == driver-side pure kernel on every row, and
+    the native columns match an independent Python re-derivation."""
+    from intelligent_document_processing_on_aws_spark.operators.quality import (
+        doc_quality,
+    )
+
+    rows = [
+        (1, "a b c\nX\nX\na b c a b c a b c"),
+        (2, "hello world\n- bullet one\n* bullet two\nwait...\n…"),
+        (3, ""),
+        (4, "# # # tag tag tag tag"),
+        (5, "• dot bullet\nplain line\nend with…"),
+        (6, "  \n\t\nonly whitespace lines\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in doc_quality(df).collect()}
+    assert len(got) == len(rows)
+    for doc_id, text in rows:
+        sig = repetition_signals(text)
+        for j, c in enumerate(REPETITION_COLS):
+            assert got[doc_id][c] == sig[j], (doc_id, c)
+
+        lines = [ln.strip(" \t\r") for ln in text.split("\n")]
+        lines = [ln for ln in lines if ln]
+        words = text.lower().split()
+        if lines:
+            ell = sum(1 for ln in lines if ln.endswith(("...", "…")))
+            bul = sum(1 for ln in lines
+                      if ln.startswith(("- ", "* ", "•")))
+            assert got[doc_id]["ellipsis_line_fraction"] == trunc6(ell / len(lines))
+            assert got[doc_id]["bullet_line_fraction"] == trunc6(bul / len(lines))
+        if words:
+            alpha = sum(1 for w in words if any("a" <= ch <= "z" for ch in w))
+            assert got[doc_id]["alpha_word_fraction"] == trunc6(alpha / len(words))
+            n_sym = text.count("#") + text.replace("…", "...").count("...")
+            assert got[doc_id]["symbol_word_ratio"] == trunc6(n_sym / len(words))
+
+
+def test_quality_gate_drops_repetitious_docs(spark):
+    from intelligent_document_processing_on_aws_spark.operators.quality import (
+        quality_gate_ids,
+    )
+
+    rows = [
+        (1, "a normal paragraph with reasonably varied words in it\n"
+            "and a second line that says different things entirely"),
+        (2, "buy now " * 40),                  # top-2-gram dominated
+        (3, "same line\n" * 10),               # duplicate lines
+        (4, "# " * 30 + "word"),               # symbol-heavy
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in quality_gate_ids(df).collect()}
+    assert kept == {1}
+
+
+def test_doc_quality_plan_vectorized(spark):
+    """No row-at-a-time Python: one ArrowEval/MapInPandas node only."""
+    from intelligent_document_processing_on_aws_spark.operators.quality import (
+        doc_quality,
+    )
+
+    df = spark.createDataFrame([(1, "a b\nc d")], "doc_id long, text string")
+    plan = doc_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
