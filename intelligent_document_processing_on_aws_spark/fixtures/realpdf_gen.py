@@ -297,6 +297,23 @@ def _encoding_page_ops(rng: random.Random) -> tuple[list[str], list[str], str]:
     return lines, blocks, enc_value
 
 
+def _cid_page_ops(rng: random.Random) -> list[str]:
+    """A page shown through a Type0/Identity-H (CID) font WITHOUT a
+    /ToUnicode CMap: the 2-byte codes are glyph indices, so the text is
+    undecodable and the WHOLE document must degrade to the error column
+    (kernels/real_pdf.UnsupportedFont) — never latin-1 mojibake. Returns
+    /F4 op blocks only (there is no golden text: the doc errors)."""
+    blocks = []
+    for idx in range(2 + rng.randrange(3)):
+        n_codes = 4 + rng.randrange(8)
+        hx = "".join(f"{rng.randrange(0x0100, 0x6000):04X}"
+                     for _ in range(n_codes))
+        y = TOP_Y - LEADING * idx
+        blocks.append(f"BT /F4 12 Tf {LEFT_X:.1f} {y:.1f} Td <{hx}> Tj ET")
+    rng.shuffle(blocks)
+    return blocks
+
+
 def _lzw_encode(data: bytes) -> bytes:
     """Fixture-side PDF LZW encoder (EarlyChange=1), width schedule the
     mirror of kernels/real_pdf.lzw_decode (the decoder's table add lags
@@ -384,27 +401,36 @@ def _cmap_stream(char_code: dict, two_byte: bool, rng: random.Random) -> bytes:
     return "\n".join(out).encode("latin-1")
 
 
-def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
-    """Write a complete multi-page PDF; returns (bytes, golden lines)."""
+def build_pdf(rng: random.Random) -> tuple[bytes, list[str] | None]:
+    """Write a complete multi-page PDF; returns (bytes, golden lines).
+
+    golden is None when the document contains a CID page (Type0 font
+    without ToUnicode): such documents are undecodable by contract and
+    must land in the error column, so there IS no golden text."""
     n_pages = 1 + rng.randrange(3)
     page_lines: list[list[str]] = []
     page_streams: list[list[bytes]] = []  # per page: 1..2 content parts
     page_cmaps: list[dict | None] = []
     page_encs: list[str | None] = []
+    page_cids: list[bool] = []
     for _ in range(n_pages):
         cmap_info = None
         enc_value = None
+        is_cid = False
         r = rng.random()
-        if r < 0.22:
+        if r < 0.05:
+            lines, blocks, is_cid = [], _cid_page_ops(rng), True
+        elif r < 0.25:
             lines, blocks = _table_page_ops(rng)
-        elif r < 0.40:
+        elif r < 0.42:
             lines, blocks, cmap_info = _cmap_page_ops(rng)
-        elif r < 0.55:
+        elif r < 0.56:
             lines, blocks, enc_value = _encoding_page_ops(rng)
         else:
             lines, blocks = _page_content_ops(rng)
         page_cmaps.append(cmap_info)
         page_encs.append(enc_value)
+        page_cids.append(is_cid)
         page_lines.append(lines)
         if len(blocks) >= 2 and rng.random() < 0.3:  # /Contents array form
             cut = 1 + rng.randrange(len(blocks) - 1)
@@ -452,6 +478,23 @@ def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
             ).encode()
             next_num += 2
             fonts += f" /F2 {font_num} 0 R"
+        if page_cids[pg_idx]:
+            # Type0/Identity-H with DescendantFonts but NO /ToUnicode:
+            # the undecodable-CID shape real subsetted CJK PDFs have
+            desc_num, font_num = next_num, next_num + 1
+            next_num += 2
+            objects[desc_num] = (
+                b"<< /Type /Font /Subtype /CIDFontType2 "
+                b"/BaseFont /AAAAAA+SourceHanSans /CIDSystemInfo "
+                b"<< /Registry (Adobe) /Ordering (Identity) "
+                b"/Supplement 0 >> >>"
+            )
+            objects[font_num] = (
+                f"<< /Type /Font /Subtype /Type0 "
+                f"/BaseFont /AAAAAA+SourceHanSans /Encoding /Identity-H "
+                f"/DescendantFonts [ {desc_num} 0 R ] >>"
+            ).encode()
+            fonts += f" /F4 {font_num} 0 R"
         enc_value = page_encs[pg_idx]
         if enc_value is not None:
             # simple font with /Encoding (no ToUnicode): bare name, inline
@@ -506,6 +549,8 @@ def build_pdf(rng: random.Random) -> tuple[bytes, list[str]]:
         out = _serialize_classic_pdf(objects, encrypt_rng=rng)
     else:
         out = _serialize_classic_pdf(objects)
+    if any(page_cids):
+        return bytes(out), None
     golden = [ln for pg in page_lines for ln in pg]
     return bytes(out), golden
 
@@ -709,19 +754,27 @@ def gen_real_pdf(i: int) -> dict:
     schema-compatible with pages_gen (url/warc_ts/html/text/lang)."""
     rng = random.Random(f"rpdf-{i}-42")
     payload, golden_lines = build_pdf(rng)
-    golden = "\n".join(golden_lines)
     host = rng.randrange(1, 200)
-    return {
+    rec = {
         "url": f"https://host{host:04d}.example/realpdf/{i:06d}.pdf",
         "warc_ts": BASE_TS + timedelta(seconds=311 * i),
         "html": payload,
-        "text": golden,
         "lang": LANGS[i % len(LANGS)],
-        "extracted_text": golden,
-        "spans_json": json.dumps(_spans_for(golden_lines), separators=(",", ":")),
-        "confidence": 1.0,
-        "content_type": "pdf",
     }
+    if golden_lines is None:
+        # CID page: undecodable by contract -> whole doc errors loudly
+        rec.update(text="", extracted_text="", spans_json="[]",
+                   confidence=0.0, content_type="error")
+        return rec
+    golden = "\n".join(golden_lines)
+    rec.update(
+        text=golden,
+        extracted_text=golden,
+        spans_json=json.dumps(_spans_for(golden_lines), separators=(",", ":")),
+        confidence=1.0,
+        content_type="pdf",
+    )
+    return rec
 
 
 def gen_real_pdfs(n: int, start: int = 0) -> list[dict]:

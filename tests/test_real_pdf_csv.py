@@ -34,24 +34,41 @@ from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
 
 
 def test_real_pdf_roundtrip_subset():
+    n_err = 0
     for i in range(80):
         rec = gen_real_pdf(i)
-        ctype, res = extract_page(rec["html"], rec["url"])
-        assert ctype == "pdf"
+        from intelligent_document_processing_on_aws_spark.kernels.extract import (
+            extract_page_safe,
+        )
+
+        ctype, res, err = extract_page_safe(rec["html"], rec["url"])
+        assert ctype == rec["content_type"], f"doc {i}"
         assert res.extracted_text == rec["extracted_text"], f"doc {i}"
         triples = [[s.start, s.end, s.block_id] for s in res.spans]
         assert json.dumps(triples, separators=(",", ":")) == rec["spans_json"]
-        assert res.confidence == 1.0
+        if ctype == "error":
+            # the CID-font contract: LOUD degrade, named exception
+            assert "UnsupportedFont" in err and res.confidence == 0.0
+            n_err += 1
+        else:
+            assert err is None and res.confidence == 1.0
+    assert n_err >= 1  # the corpus must exercise the CID boundary
 
 
 def test_real_pdf_multipage_page_order():
     """Pages must come out in page-tree order, not object-number order."""
     import random
 
-    for seed in ("rpdf-2-42", "rpdf-7-42", "rpdf-11-42"):
+    checked = 0
+    for seed in ("rpdf-2-42", "rpdf-7-42", "rpdf-11-42", "rpdf-13-42",
+                 "rpdf-17-42"):
         rng = random.Random(seed)
         payload, golden = build_pdf(rng)
+        if golden is None:  # CID doc: no golden text by contract
+            continue
         assert extract_real_pdf(payload).extracted_text == "\n".join(golden)
+        checked += 1
+    assert checked >= 3
 
 
 # ---------------------------------------------------------------------------
@@ -302,6 +319,8 @@ def test_objstm_fixture_family_present_and_green():
     n_objstm = 0
     for i in range(0, 400, 7):
         rec = gen_real_pdf(i)
+        if rec["content_type"] == "error":  # CID doc: no golden text
+            continue
         if b"/ObjStm" in rec["html"]:
             n_objstm += 1
             assert b"/Type /XRef" in rec["html"]
@@ -404,6 +423,8 @@ def test_cmap_fixture_family_present_and_green():
     n_cmap = 0
     for i in range(0, 400, 5):
         rec = gen_real_pdf(i)
+        if rec["content_type"] == "error":  # CID doc: no golden text
+            continue
         if b"/ToUnicode" in rec["html"]:
             n_cmap += 1
             assert extract_real_pdf(rec["html"]).extracted_text == \
@@ -1246,3 +1267,59 @@ def test_balanced_dict_hex_string_abutting_close():
     assert got == b"<< /A << /ID <AB>>> /Font 1 0 R >>"
     # unterminated hex string degrades to whole input, no infinite loop
     assert _balanced_dict(b"<< /ID <ABAB") == b"<< /ID <ABAB"
+
+
+# ---------------------------------------------------------------------------
+# CID (Type0) fonts — round-4: loud degrade instead of mojibake
+# ---------------------------------------------------------------------------
+
+
+def _type0_pdf(with_tounicode: bool) -> bytes:
+    from intelligent_document_processing_on_aws_spark.fixtures.realpdf_gen import (
+        _serialize_classic_pdf,
+    )
+
+    # codes 0x0001, 0x0002 -> "Hi" when the CMap is present
+    content = b"BT /F4 12 Tf 72 700 Td <00010002> Tj ET"
+    cmap = (b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"beginbfchar <0001> <0048> <0002> <0069> endbfchar")
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F4 6 0 R >> >> /Contents 4 0 R >>"),
+        4: (b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream"),
+        5: (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X+Y "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> >>"),
+        6: (b"<< /Type /Font /Subtype /Type0 /BaseFont /X+Y "
+            b"/Encoding /Identity-H /DescendantFonts [ 5 0 R ]"
+            + (b" /ToUnicode 7 0 R" if with_tounicode else b"") + b" >>"),
+    }
+    if with_tounicode:
+        objects[7] = (b"<< /Length " + str(len(cmap)).encode()
+                      + b" >>\nstream\n" + cmap + b"\nendstream")
+    return _serialize_classic_pdf(objects)
+
+
+def test_type0_without_tounicode_errors_loudly():
+    import pytest
+
+    from intelligent_document_processing_on_aws_spark.kernels.extract import (
+        extract_page_safe,
+    )
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        UnsupportedFont,
+    )
+
+    pdf = _type0_pdf(with_tounicode=False)
+    with pytest.raises(UnsupportedFont):
+        extract_real_pdf(pdf)
+    ctype, res, err = extract_page_safe(pdf, "x.pdf")
+    assert ctype == "error" and "UnsupportedFont" in err
+    assert res.extracted_text == ""
+
+
+def test_type0_with_tounicode_still_decodes():
+    assert extract_real_pdf(_type0_pdf(with_tounicode=True)).extracted_text == "Hi"
