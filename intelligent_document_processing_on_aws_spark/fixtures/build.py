@@ -93,6 +93,36 @@ def build_office(out_dir: str = FIXTURES_DIR, n: int = N_OFFICE) -> None:
     print(f"wrote office_docs/office_golden: {n} rows")
 
 
+N_XLS = 120
+
+
+def build_xls_fixtures(out_dir: str = FIXTURES_DIR, n: int = N_XLS) -> None:
+    from .xls_gen import gen_xls_docs
+
+    docs = gen_xls_docs(n)
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "url": [d["url"] for d in docs],
+            "payload": [d["payload"] for d in docs],
+        },
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("url", pa.string()), ("payload", pa.binary())]
+        ),
+    )
+    pq.write_table(table, os.path.join(out_dir, "xls_docs.parquet"),
+                   compression="zstd")
+    golden = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "extracted_text": [d["extracted_text"] for d in docs],
+        }
+    )
+    pq.write_table(golden, os.path.join(out_dir, "xls_golden.parquet"),
+                   compression="zstd")
+    print(f"wrote xls_docs/xls_golden: {n} rows")
+
+
 N_REALPDF = 400
 
 
@@ -197,6 +227,7 @@ def build(out_dir: str = FIXTURES_DIR) -> None:
     build_packets(out_dir)
     build_office(out_dir)
     build_realpdf(out_dir)
+    build_xls_fixtures(out_dir)
     build_csv(out_dir)
     build_summaries(out_dir)
     build_ocrblocks(out_dir)

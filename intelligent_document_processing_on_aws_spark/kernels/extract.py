@@ -75,6 +75,10 @@ def extract_page(
         from .office import extract_docx
 
         return ctype, extract_docx(content)
+    if ctype == filetype.XLS:
+        from .xls_biff import extract_xls
+
+        return ctype, extract_xls(content)
     if ctype == filetype.XLSX:
         from .office import extract_xlsx
 

@@ -28,6 +28,7 @@ TEXT = "text"
 CSV = "csv"
 OCR_JSON = "ocr_json"
 XLSX = "xlsx"
+XLS = "xls"
 DOCX = "docx"
 IMAGE = "image"
 UNKNOWN = "unknown"
@@ -147,6 +148,13 @@ def detect_content_type_and_text(
         if b"word/" in head:
             return DOCX, None
         return UNKNOWN, None
+    if content.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        # OLE2/CFB container: legacy Office. Routed to the BIFF8 .xls
+        # decoder (kernels/xls_biff); non-workbook CFB files (.doc/.ppt)
+        # raise XlsError there and degrade to the error column — the
+        # reference routes by extension and errors the same way
+        # (document_converter.py:164-221)
+        return XLS, None
     if _is_unambiguous_image_magic(content):
         return IMAGE, None
     try:

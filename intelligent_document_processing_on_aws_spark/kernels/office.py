@@ -358,10 +358,11 @@ def xlsx_to_sheets(payload: bytes) -> dict[str, list[list[str]]]:
     return sheets
 
 
-def xlsx_to_markdown(payload: bytes) -> str:
-    """Per-sheet markdown with reference numeric formats; `## sheet` headers
-    only when more than one sheet."""
-    sheets = xlsx_to_sheets(payload)
+def sheets_to_markdown(sheets: dict[str, list[list[str]]]) -> str:
+    """Per-sheet markdown with reference numeric formats; `## sheet`
+    headers only when more than one sheet. Shared by the OOXML (xlsx) and
+    BIFF8 (.xls, kernels/xls_biff) decode paths — both normalize to the
+    same (sheet name -> string rows) shape first."""
     parts: list[str] = []
     multi = len(sheets) > 1
     for name, rows in sheets.items():
@@ -380,6 +381,10 @@ def xlsx_to_markdown(payload: bytes) -> str:
         ]
         parts.append(format_pipe_table(out_rows))
     return "\n\n".join(parts)
+
+
+def xlsx_to_markdown(payload: bytes) -> str:
+    return sheets_to_markdown(xlsx_to_sheets(payload))
 
 
 def _result_from_parts(parts: list[str], sep: str = "\n") -> ExtractionResult:
