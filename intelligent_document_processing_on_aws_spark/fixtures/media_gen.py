@@ -37,3 +37,46 @@ def jpeg_bytes(width: int, height: int) -> bytes:
 def gif_bytes(width: int, height: int) -> bytes:
     # packed flags 0x70: no global color table (0xf0 would promise one)
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\x70\x00\x00" + b"\x00\x3b"
+
+
+def bmp_bytes(width: int, height: int) -> bytes:
+    # BITMAPINFOHEADER; even ids get top-down rows (negative height)
+    h = -height if width % 2 == 0 else height
+    dib = struct.pack("<IiiHHIIiiII", 40, width, h, 1, 24, 0, 0, 2835, 2835,
+                      0, 0)
+    return b"BM" + struct.pack("<IHHI", 14 + 40 + 4, 0, 0, 54) + dib + b"\x00" * 4
+
+
+def tiff_bytes(width: int, height: int) -> bytes:
+    # big-endian when width is odd (exercises both byte orders); SHORT
+    # width / LONG height entry types
+    bo = ">" if width % 2 else "<"
+    order = b"MM\x00*" if width % 2 else b"II*\x00"
+    entries = (
+        struct.pack(f"{bo}HHI", 256, 3, 1) + struct.pack(f"{bo}H", width)
+        + b"\x00\x00"
+        + struct.pack(f"{bo}HHI", 257, 4, 1) + struct.pack(f"{bo}I", height)
+    )
+    ifd = struct.pack(f"{bo}H", 2) + entries + struct.pack(f"{bo}I", 0)
+    return order + struct.pack(f"{bo}I", 8) + ifd
+
+
+def webp_bytes(width: int, height: int) -> bytes:
+    # rotate the three container shapes: VP8X canvas / lossy VP8 / VP8L
+    v = (width + height) % 3
+    if v == 0:
+        payload = (b"\x2f" + struct.pack(
+            "<I", (width - 1) | ((height - 1) << 14)))
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    elif v == 1:
+        payload = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                   + struct.pack("<HH", width, height) + b"\x00" * 4)
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    else:
+        payload = (b"\x00\x00\x00\x00"
+                   + (width - 1).to_bytes(3, "little")
+                   + (height - 1).to_bytes(3, "little"))
+        chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    if len(chunk) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

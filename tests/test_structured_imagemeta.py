@@ -336,3 +336,31 @@ def test_docx_tab_break_and_hyperlink_runs():
     assert parts[0] == "name\tvalue"
     assert parts[1] == "line one\nline two"
     assert parts[2] == "linked text"
+
+
+def test_bmp_tiff_webp_header_sizes():
+    """Round-4 formats: generator headers vs kernel parsers, all variants
+    (BMP top-down negative height, both TIFF byte orders, three WEBP
+    container shapes), plus malformed-input None contracts."""
+    from intelligent_document_processing_on_aws_spark.fixtures.media_gen import (
+        bmp_bytes,
+        tiff_bytes,
+        webp_bytes,
+    )
+    from intelligent_document_processing_on_aws_spark.kernels.image_meta import (
+        bmp_size,
+        image_size,
+        tiff_size,
+        webp_size,
+    )
+
+    for w, h in [(1, 1), (2, 3), (499, 399), (640, 480), (1023, 767)]:
+        assert bmp_size(bmp_bytes(w, h)) == (w, h), ("bmp", w, h)
+        assert tiff_size(tiff_bytes(w, h)) == (w, h), ("tiff", w, h)
+        assert webp_size(webp_bytes(w, h)) == (w, h), ("webp", w, h)
+        for payload in (bmp_bytes(w, h), tiff_bytes(w, h), webp_bytes(w, h)):
+            assert image_size(payload) == (w, h)
+    assert bmp_size(b"BM" + b"\x00" * 10) is None
+    assert tiff_size(b"II*\x00\x08\x00\x00") is None  # truncated IFD offset
+    assert webp_size(b"RIFF\x04\x00\x00\x00WEBP") is None
+    assert image_size(b"") is None
