@@ -9,7 +9,12 @@ reference pipeline processes trusted business documents):
 - duplicate_line_char_fraction: characters inside those duplicate
   instances / total line characters;
 - top{2,3,4}gram_char_fraction: characters covered by the most frequent
-  word n-gram (count * len(gram)) / total text characters.
+  word n-gram (count * len(gram)) / total text characters;
+- dup{5,10}gram_char_fraction: fraction of characters covered by ANY
+  occurrence of a duplicated n-gram (count >= 2), overlap-deduplicated
+  by interval union over the space-normalized text (' '.join(words)) —
+  Gopher's bounded-by-1 definition. The oracle reproduces the union
+  with the standard running-max window sweep.
 
 Counting is a single Counter pass per document — O(length), which is the
 shape that survives 100k-token documents. (A shuffle-free native-Catalyst
@@ -41,6 +46,8 @@ REPETITION_COLS = (
     "top2gram_char_fraction",
     "top3gram_char_fraction",
     "top4gram_char_fraction",
+    "dup5gram_char_fraction",
+    "dup10gram_char_fraction",
 )
 
 
@@ -65,9 +72,38 @@ def _top_ngram_char_fraction(words: list[str], n: int, denom: int) -> float:
     return trunc6(cnt * ln / denom)
 
 
-def repetition_signals(text: str) -> tuple[float, float, float, float, float]:
-    """(dup_line_fraction, dup_line_char_fraction, top2gram_char_fraction,
-    top3gram_char_fraction, top4gram_char_fraction) for one document."""
+def _dup_ngram_char_fraction(words: list[str], n: int) -> float:
+    """Union char coverage of duplicated n-grams over the normalized text
+    (module docstring contract). Word starts are strictly increasing, so
+    the interval sweep needs no same-start tie-break."""
+    if len(words) < n:
+        return 0.0
+    norm_len = sum(len(w) for w in words) + len(words) - 1
+    if norm_len <= 0:
+        return 0.0
+    starts: list[int] = []
+    pos = 0
+    for w in words:
+        starts.append(pos)
+        pos += len(w) + 1
+    grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+    counts = Counter(grams)
+    covered = 0
+    cur_end = -1
+    for i, g in enumerate(grams):
+        if counts[g] < 2:
+            continue
+        s, e = starts[i], starts[i] + len(g)
+        if s > cur_end:
+            covered += e - s
+        elif e > cur_end:
+            covered += e - cur_end
+        cur_end = max(cur_end, e)
+    return trunc6(covered / norm_len)
+
+
+def repetition_signals(text: str) -> tuple[float, ...]:
+    """One value per REPETITION_COLS entry, in order."""
     # explicit strip charset (space/tab/CR): Python str.strip() is
     # Unicode-aware but DuckDB trim() is not — pin the common subset so
     # the oracle's trim(line, ' ' || chr(9) || chr(13)) is identical
@@ -90,4 +126,6 @@ def repetition_signals(text: str) -> tuple[float, float, float, float, float]:
         _top_ngram_char_fraction(words, 2, denom),
         _top_ngram_char_fraction(words, 3, denom),
         _top_ngram_char_fraction(words, 4, denom),
+        _dup_ngram_char_fraction(words, 5),
+        _dup_ngram_char_fraction(words, 10),
     )

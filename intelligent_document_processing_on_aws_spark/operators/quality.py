@@ -35,6 +35,8 @@ DEFAULT_GATES = {
     "top2gram_char_fraction": 0.20,
     "top3gram_char_fraction": 0.18,
     "top4gram_char_fraction": 0.16,
+    "dup5gram_char_fraction": 0.15,
+    "dup10gram_char_fraction": 0.10,
     "symbol_word_ratio": 0.10,
 }
 

@@ -17,7 +17,7 @@ def test_repetition_signals_hand_computed():
     # 4 lines, one duplicated pair 'X' (1 char each); 'a b c' appears once
     # as a line plus a run-on line
     text = "a b c\nX\nX\na b c a b c a b c"
-    dup_f, dup_cf, g2, g3, g4 = repetition_signals(text)
+    dup_f, dup_cf, g2, g3, g4, d5, d10 = repetition_signals(text)
     assert dup_f == trunc6(1 / 4)
     # dup chars: one extra 'X' instance = 1 char; line chars = 5+1+1+17...
     assert dup_cf == trunc6(1 / (5 + 1 + 1 + 17))
@@ -25,12 +25,17 @@ def test_repetition_signals_hand_computed():
     assert g2 == trunc6(4 * 3 / len(text))
     assert g3 == trunc6(4 * 5 / len(text))  # 'a b c' x4 (wraps across \n)
     assert g4 == trunc6(2 * 7 / len(text))  # 'a b c a' x2
+    # dup-5-gram union coverage over 'a b c x x a b c a b c a b c':
+    # 5-grams repeat from 'a b c a b' onward, covering the whole tail
+    norm = " ".join(text.lower().split())
+    assert 0.0 < d5 <= 1.0 and d10 == 0.0  # only 12 words < 2x10-gram
 
 
 def test_repetition_signals_edges():
-    assert repetition_signals("") == (0.0, 0.0, 0.0, 0.0, 0.0)
-    assert repetition_signals("\n\n  \n\t\n") == (0.0, 0.0, 0.0, 0.0, 0.0)
-    assert repetition_signals("one") == (0.0, 0.0, 0.0, 0.0, 0.0)
+    zeros = (0.0,) * 7
+    assert repetition_signals("") == zeros
+    assert repetition_signals("\n\n  \n\t\n") == zeros
+    assert repetition_signals("one") == zeros
     # all lines identical
     dup_f, dup_cf, *_ = repetition_signals("same\nsame\nsame")
     assert dup_f == trunc6(2 / 3) and dup_cf == trunc6(8 / 12)
@@ -40,7 +45,7 @@ def test_top_ngram_tie_break_char_mass_invariant():
     # two 2-grams tie at count 2: 'aa bb' (len 5) and 'bb aa' (len 5) —
     # the emitted char mass is identical whichever wins
     text = "aa bb aa bb aa"
-    *_, g2, g3, g4 = repetition_signals(text)
+    _, _, g2, g3, g4, _, _ = repetition_signals(text)
     assert g2 == trunc6(2 * 5 / len(text))
 
 
@@ -50,8 +55,10 @@ def test_repetition_signal_invariants(text):
     sig = repetition_signals(text)
     dup_f, dup_cf = sig[0], sig[1]
     assert 0.0 <= dup_f <= 1.0 and 0.0 <= dup_cf <= 1.0
-    for v in sig[2:]:
-        assert v >= 0.0  # char mass may exceed 1 when occurrences overlap
+    for v in sig[2:5]:
+        assert v >= 0.0  # top mass may exceed 1 when occurrences overlap
+    for v in sig[5:]:
+        assert 0.0 <= v <= 1.0  # union coverage is bounded by definition
     # quantization: 6dp exact
     for v in sig:
         assert v == trunc6(v)
