@@ -363,7 +363,41 @@ def _encode_stream(raw: bytes, rng: random.Random) -> tuple[bytes, str]:
         return armored, " /Filter [ /ASCII85Decode /FlateDecode ]"
     if r < 0.88:
         return binascii.hexlify(raw).upper() + b">", " /Filter /ASCIIHexDecode"
-    return _lzw_encode(raw), " /Filter /LZWDecode"
+    if r < 0.94:
+        return _lzw_encode(raw), " /Filter /LZWDecode"
+    return _runlength_encode(raw), " /Filter /RunLengthDecode"
+
+
+def _runlength_encode(raw: bytes) -> bytes:
+    """Independent RunLength writer twin (PDF 1.7 §7.4.5): repeat runs of
+    >= 3 as 257-n runs, literal spans otherwise, 128 EOD."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    lit_start = 0
+
+    def flush_literal(end: int) -> None:
+        j = lit_start
+        while j < end:
+            k = min(128, end - j)
+            out.append(k - 1)
+            out.extend(raw[j:j + k])
+            j += k
+
+    while i < n:
+        j = i
+        while j < n and j - i < 128 and raw[j] == raw[i]:
+            j += 1
+        if j - i >= 3:
+            flush_literal(i)
+            out.append(257 - (j - i))
+            out.append(raw[i])
+            i = j
+            lit_start = i
+        else:
+            i = j
+    flush_literal(n)
+    out.append(128)
+    return bytes(out)
 
 
 def _cmap_stream(char_code: dict, two_byte: bool, rng: random.Random) -> bytes:

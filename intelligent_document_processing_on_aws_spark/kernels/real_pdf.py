@@ -221,6 +221,27 @@ def lzw_decode(data: bytes, early: int = 1) -> bytes:
     return bytes(out)
 
 
+def runlength_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode (PDF 1.7 §7.4.5): length byte 0-127 copies the
+    next length+1 bytes literally; 129-255 repeats the next byte
+    257-length times; 128 is EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i + 1:i + 2 + ln]
+            i += 2 + ln
+        else:
+            if i + 1 >= n:
+                raise ValueError("truncated RunLength run")
+            out += data[i + 1:i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
 def _ascii85_decode(raw: bytes) -> bytes:
     """PDF ASCII85Decode: whitespace-tolerant, ``z`` groups, ``~>`` EOD
     (the leading ``<~`` Adobe frame is absent in PDF streams)."""
@@ -307,6 +328,8 @@ def content_stream(objects: dict[int, bytes], num: int,
             raw = _apply_predictor(head, zlib.decompress(raw))
         elif name == b"LZWDecode":
             raw = _apply_predictor(head, lzw_decode(raw, _early_change(head)))
+        elif name == b"RunLengthDecode":
+            raw = runlength_decode(raw)
         # image codecs (DCTDecode etc.) never carry page text: passthrough
     return raw
 

@@ -1323,3 +1323,19 @@ def test_type0_without_tounicode_errors_loudly():
 
 def test_type0_with_tounicode_still_decodes():
     assert extract_real_pdf(_type0_pdf(with_tounicode=True)).extracted_text == "Hi"
+
+
+def test_runlength_filter_pinned():
+    """RunLengthDecode semantics pinned directly (PDF 1.7 §7.4.5)."""
+    from intelligent_document_processing_on_aws_spark.kernels.real_pdf import (
+        runlength_decode,
+    )
+
+    assert runlength_decode(b"\x02abc\x80") == b"abc"          # literal run
+    assert runlength_decode(b"\xfeZ\x80") == b"ZZZ"            # 257-254=3
+    assert runlength_decode(b"\x00a\xffQ\x80tail") == b"aQQ"   # EOD stops
+    assert runlength_decode(b"") == b""
+    import pytest
+
+    with pytest.raises(ValueError):
+        runlength_decode(b"\xfe")                              # truncated run
