@@ -110,7 +110,8 @@ _REPETITION_SCHEMA = T.StructType(
 
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, dup_line_fraction, dup_line_char_fraction,
-    top{2,3,4}gram_char_fraction) — one map-only Arrow pass."""
+    top{2,3,4}gram_char_fraction, dup{5,10}gram_char_fraction) — one
+    map-only Arrow pass."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -125,23 +126,50 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", text_col).mapInPandas(run, _REPETITION_SCHEMA)
 
 
-def doc_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality-signal table: repetition signals (Arrow
-    kernel) joined with the native columnar signals, keyed by doc_id.
+_NATIVE_COLS = (
+    "symbol_word_ratio",
+    "ellipsis_line_fraction",
+    "bullet_line_fraction",
+    "alpha_word_fraction",
+)
 
-    The join is doc_id-equi on two children of the same scan; Catalyst
-    plans it as one shuffle on doc_id at fixture scale and the repetition
-    side can be computed in the same stage as the scan at cluster scale
-    (map-only lineage)."""
+_QUALITY_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType())]
+    + [T.StructField(c, T.DoubleType()) for c in REPETITION_COLS]
+    + [T.StructField(c, T.DoubleType()) for c in _NATIVE_COLS]
+)
+
+
+def doc_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality-signal table, computed in ONE pass over the
+    scan: the native columnar signals are evaluated first (whole-stage
+    codegen over the scan), then flow THROUGH the single Arrow
+    mapInPandas that adds the repetition signals. No join, no second
+    scan, no shuffle — the whole operator is map-only lineage at any
+    scale."""
     t = F.col(text_col)
-    native = docs.select(
+    src = docs.select(
         "doc_id",
+        t.alias("__text"),
         symbol_word_ratio(t).alias("symbol_word_ratio"),
         ellipsis_line_fraction(t).alias("ellipsis_line_fraction"),
         bullet_line_fraction(t).alias("bullet_line_fraction"),
         alpha_word_fraction(t).alias("alpha_word_fraction"),
     )
-    return repetition_stats(docs, text_col).join(native, "doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sig = [repetition_signals(t) for t in pdf["__text"]]
+            out = {"doc_id": pdf["doc_id"]}
+            for j, c in enumerate(REPETITION_COLS):
+                out[c] = [s[j] for s in sig]
+            for c in _NATIVE_COLS:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, _QUALITY_SCHEMA)
 
 
 def quality_gate_ids(

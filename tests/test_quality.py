@@ -120,8 +120,10 @@ def test_quality_gate_drops_repetitious_docs(spark):
     assert kept == {1}
 
 
-def test_doc_quality_plan_vectorized(spark):
-    """No row-at-a-time Python: one ArrowEval/MapInPandas node only."""
+def test_doc_quality_plan_vectorized_and_shuffle_free(spark):
+    """Map-only lineage: one MapInPandas over the scan with the native
+    signals codegen'd beneath it — no BatchEvalPython, no Exchange, no
+    join, no second scan."""
     from intelligent_document_processing_on_aws_spark.operators.quality import (
         doc_quality,
     )
@@ -129,3 +131,5 @@ def test_doc_quality_plan_vectorized(spark):
     df = spark.createDataFrame([(1, "a b\nc d")], "doc_id long, text string")
     plan = doc_quality(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
