@@ -71,6 +71,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     text_col: str = "text",
     max_df: int | None = DEFAULT_MAX_DF,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairwise Jaccard >= threshold over k-token shingle sets.
 
@@ -105,6 +106,15 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(F.broadcast(violators), "sh", "left_anti")
+    # materialize the (capped) posting table once: it feeds FOUR plan
+    # branches (sizes + both self-join sides + the df-count above), and
+    # without a checkpoint each branch re-tokenizes the corpus — at
+    # 100 TB that's re-shingling everything 4x. Lazy localCheckpoint =
+    # the standard "build the index once" step (computed on first use,
+    # executor-storage reuse after, lineage truncated).
+    # materialize=False keeps the full lineage (plan audits, debugging).
+    if materialize:
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -207,6 +217,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     text_col: str = "text",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    materialize: bool = True,
 ) -> DataFrame:
     """Banded MinHash-LSH candidates verified by exact Jaccard.
 
@@ -224,6 +235,10 @@ def minhash_lsh_pairs(
     band_df = minhash_band_df(docs, num_perm=num_perm, bands=bands, k=k,
                               text_col=text_col)
     band_df = _cap_buckets(band_df, ["band_key"], max_bucket)
+    # signature computation feeds both self-join sides (and the cap count
+    # above): checkpoint so MinHash runs ONCE per doc, not per branch
+    if materialize:
+        band_df = band_df.localCheckpoint(eager=False)
     a = band_df.alias("a")
     b = band_df.alias("b")
     candidates = (
@@ -232,8 +247,11 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .distinct()
     )
-    # exact verify: join shingle sets of candidates only
+    # exact verify: join shingle sets of candidates only (checkpointed —
+    # the table feeds sizes + both posting sides)
     sh = _shingles_df(docs, text_col, k)
+    if materialize:
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingle"))
     pb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingle"))
@@ -292,7 +310,8 @@ def simhash_chunks_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   text_col: str = "text",
-                  max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
+                  max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                  materialize: bool = True) -> DataFrame:
     """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
 
     Band blocking: 4x16-bit chunks — any pair within Hamming<=3 shares at
@@ -306,6 +325,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     audits what a cap would drop."""
     chunks = simhash_chunks_df(docs, text_col)
     chunks = _cap_buckets(chunks, ["band", "chunk"], max_bucket)
+    # hash once per doc, not once per plan branch (cap count + 2 sides)
+    if materialize:
+        chunks = chunks.localCheckpoint(eager=False)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -194,7 +194,9 @@ def test_round3_ngram_plan_hashed_keys_and_anti_join(spark):
         [(i, f"some text body number {i} with shared tokens") for i in range(50)],
         "doc_id long, text string",
     )
-    df = ngram_jaccard_pairs(docs, max_df=10)
+    # materialize=False keeps full lineage so the audit can see inside
+    # the posting-table build (the default lazily checkpoints it)
+    df = ngram_jaccard_pairs(docs, max_df=10, materialize=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "xxhash64" in plan
@@ -213,3 +215,23 @@ def test_round3_bucket_cap_anti_join(spark):
     plan = (_cap_buckets(df, ["band_key"], 5)
             ._jdf.queryExecution().executedPlan().toString())
     assert "LeftAnti" in plan and "BroadcastExchange" in plan
+
+
+def test_dedup_posting_tables_checkpointed_by_default(spark):
+    """The default pipelines materialize the (capped) posting/signature
+    table once: the final plan reads an RDD scan where the checkpoint
+    truncated lineage, instead of re-running the kernels per branch."""
+    from intelligent_document_processing_on_aws_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared tokens") for i in range(30)],
+        "doc_id long, text string",
+    )
+    for fn in (ngram_jaccard_pairs, minhash_lsh_pairs):
+        df = fn(docs)
+        df.count()  # checkpoint happens on first compute
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, fn.__name__
