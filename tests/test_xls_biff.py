@@ -126,3 +126,52 @@ def test_non_workbook_cfb_errors_cleanly():
         cfb_stream(doc)
     ctype, _res, err = extract_page_safe(doc, "legacy.doc")
     assert ctype == "error" and "XlsError" in err
+
+
+def test_xls_fuzz_template_roundtrip():
+    """Randomized template sheets through the writer twin and back:
+    values survive for every cell kind, every RNG-dependent serializer
+    choice (RK vs NUMBER, MULRK runs, SST splits, mini vs FAT layout)."""
+    rng = random.Random(99)
+    for trial in range(25):
+        n_rows = 1 + rng.randrange(8)
+        n_cols = 1 + rng.randrange(6)
+        header = [f"col{j}" for j in range(n_cols)]
+        rows: list[list] = [header]
+        expect: list[list[str]] = [header]
+        for _ in range(n_rows):
+            row: list = []
+            erow: list[str] = []
+            for _ in range(n_cols):
+                d = rng.random()
+                if d < 0.3:
+                    v = rng.randrange(-(1 << 28), 1 << 28)
+                    row.append(v)
+                    erow.append(str(v))
+                elif d < 0.5:
+                    v = round(rng.uniform(-1000, 1000), 2)
+                    row.append(v)
+                    erow.append(repr(v) if v != int(v) else str(int(v)))
+                elif d < 0.65:
+                    text = " ".join(rng.choice(
+                        ["plain", "zřízení", "x" * rng.randrange(1, 40)])
+                        for _ in range(rng.randrange(1, 4)))
+                    row.append(text)
+                    erow.append(text)
+                elif d < 0.75:
+                    row.append({"bool": rng.random() < 0.5})
+                    erow.append("TRUE" if row[-1]["bool"] else "FALSE")
+                elif d < 0.85:
+                    row.append(None)
+                    erow.append("")
+                else:
+                    v = float(rng.randrange(1, 10 ** 9))
+                    row.append({"formula_num": v})
+                    erow.append(str(int(v)))
+            row[-1] = "anchor"  # last col non-empty: pins row width
+            erow[-1] = "anchor"
+            rows.append(row)
+            expect.append(erow)
+        wb = build_xls({"F": rows}, rng)
+        got = xls_to_sheets(cfb_container(wb))["F"]
+        assert got == expect, trial
