@@ -23,8 +23,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from intelligent_document_processing_on_aws_spark.entry_queries import (  # noqa: E402
     _docs_with_dups,
     q_ann_brute_topk,
+    q_doc_quality,
     q_doc_stats,
     q_eval_metrics,
+    q_extract_xls,
     q_pricing_summary,
     q_section_attributes,
 )
@@ -112,6 +114,10 @@ def main() -> int:
 
     timed("doc_stats", lambda: q_doc_stats(spark, sf_dir)
           .agg(F.sum("n_tokens"), F.avg("quality")).collect())
+    timed("doc_quality", lambda: q_doc_quality(spark, sf_dir)
+          .agg(F.avg("top2gram_char_fraction"),
+               F.avg("dup5gram_char_fraction")).collect())
+    timed("extract_xls", lambda: q_extract_xls(spark, sf_dir).count())
     timed("dedup_ngram_jaccard",
           lambda: ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), 0.8).count())
     timed("dedup_minhash_lsh",
