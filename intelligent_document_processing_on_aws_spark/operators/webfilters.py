@@ -1,0 +1,133 @@
+"""Web-corpus cleanup operators: C4 line filters, PII redaction, URL
+canonicalization + dedup.
+
+The remaining standard stages of a Common-Crawl-style training-data
+pipeline (C4, Raffel et al. 2020 §2.2 — public paper; no reference-repo
+analog). All native Catalyst — higher-order array expressions and
+regexp_replace — so they whole-stage-codegen over the scan and the
+DuckDB oracles re-derive them exactly.
+
+Regex portability note: patterns use explicit ASCII character classes
+only (no \\w, no \\d shorthand subtleties) so Java regex (Spark) and
+RE2 (DuckDB) agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# -- C4 line filters ----------------------------------------------------------
+
+# C4 keeps lines that end in terminal punctuation and have >= 5 words,
+# and drops whole documents containing code braces or boilerplate
+# placeholder text (Raffel et al. 2020 §2.2).
+C4_MIN_WORDS_PER_LINE = 5
+C4_TERMINAL = ('.', '!', '?', '"', "'")
+C4_DOC_DROP_SUBSTRINGS = ("lorem ipsum", "{")
+
+
+def _lines(col: Column) -> Column:
+    trimmed = F.transform(
+        F.split(col, "\n"), lambda x: F.trim(x, F.lit(" \t\r"))
+    )
+    return F.filter(trimmed, lambda x: x != "")
+
+
+def c4_keep_line(line: Column) -> Column:
+    """One line passes C4: terminal punctuation AND >= 5 words."""
+    ends = None
+    for t in C4_TERMINAL:
+        e = line.endswith(t)
+        ends = e if ends is None else (ends | e)
+    n_words = F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
+    return ends & (n_words >= C4_MIN_WORDS_PER_LINE)
+
+
+def c4_clean(docs: DataFrame, text_col: str = "text",
+             min_lines: int = 1) -> DataFrame:
+    """(doc_id, clean_text, n_kept_lines, dropped_doc) — the C4 document
+    cleanup: filter lines, then drop documents that carry code braces /
+    placeholder text or end up with fewer than min_lines survivors.
+    Map-only: one codegen'd projection over the scan."""
+    t = F.col(text_col)
+    kept = F.filter(_lines(t), c4_keep_line)
+    lowered = F.lower(t)
+    doc_drop = None
+    for s in C4_DOC_DROP_SUBSTRINGS:
+        d = lowered.contains(s)
+        doc_drop = d if doc_drop is None else (doc_drop | d)
+    n_kept = F.size(kept)
+    return docs.select(
+        "doc_id",
+        F.when(doc_drop | (n_kept < min_lines), F.lit(None))
+         .otherwise(F.array_join(kept, "\n")).alias("clean_text"),
+        n_kept.alias("n_kept_lines"),
+        (doc_drop | (n_kept < min_lines)).alias("dropped_doc"),
+    )
+
+
+# -- PII redaction ------------------------------------------------------------
+
+# explicit ASCII classes; identical semantics under Java regex and RE2
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+IPV4_RE = (r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+           r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}")
+
+
+def redact_pii(col: Column) -> Column:
+    """Emails -> <EMAIL>, IPv4 addresses -> <IP> (training-corpus PII
+    scrub; the standard regex-redaction pass)."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, redacted, n_emails, n_ips) — redaction plus per-doc PII
+    counts (the audit signal a scrub stage reports)."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        redact_pii(t).alias("redacted"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+            .alias("n_emails"),
+        # count via the redacted-email text so an IP-like octet run inside
+        # an email never double-counts
+        F.size(F.regexp_extract_all(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), F.lit(IPV4_RE), F.lit(0)
+        )).alias("n_ips"),
+    )
+
+
+# -- URL canonicalization + dedup --------------------------------------------
+
+_TRACKING_PARAM = r"(utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)=[^&#]*"
+
+
+def canonical_url(col: Column) -> Column:
+    """Normalize a URL for dedup grouping: lowercase scheme+host, strip
+    the fragment, strip tracking params (utm_*/gclid/fbclid/ref/...),
+    collapse a dangling '?'/'&', strip one trailing '/'.
+
+    Pure sequential regexp_replace steps so the DuckDB oracle applies the
+    IDENTICAL pipeline."""
+    u = F.regexp_replace(col, r"#.*$", "")                  # fragment
+    u = F.regexp_replace(u, _TRACKING_PARAM + r"&?", "")     # tracking params
+    u = F.regexp_replace(u, r"[?&]$", "")                    # dangling sep
+    u = F.regexp_replace(u, r"/$", "")                       # trailing slash
+    # lowercase scheme://host only (path/query stay case-sensitive)
+    head = F.lower(F.regexp_extract(u, r"^([a-zA-Z]+://[^/]*)", 1))
+    tail = F.regexp_replace(u, r"^[a-zA-Z]+://[^/]*", "")
+    return F.when(head == "", u).otherwise(F.concat(head, tail))
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, canonical_url, is_duplicate) — canonical-URL grouping with
+    min-url canonical representative (C4 dedups exact URLs; web pipelines
+    canonicalize first). One shuffle on the canonical key."""
+    c = canonical_url(F.col(url_col)).alias("canonical_url")
+    w = Window.partitionBy("canonical_url")
+    return pages.select(F.col(url_col).alias("url"), c).select(
+        "url", "canonical_url",
+        (F.col("url") != F.min("url").over(w)).alias("is_duplicate"),
+    )

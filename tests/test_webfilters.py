@@ -1,0 +1,89 @@
+"""C4 line filters, PII redaction, URL canonicalization (operators/webfilters)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from intelligent_document_processing_on_aws_spark.operators.webfilters import (
+    c4_clean,
+    canonical_url,
+    pii_stats,
+    url_dedup,
+)
+
+
+def test_c4_clean_semantics(spark):
+    rows = [
+        (1, "This sentence has exactly six words.\nshort one\n"
+            "Another proper sentence with five words!"),
+        (2, "code ahead\nif (x) { return; }\nA fine sentence with many words."),
+        (3, "We present Lorem Ipsum filler text here.\nGood sentence is here today."),
+        (4, "no terminal punctuation in this line at all\nanother bare line"),
+        (5, 'A quoted ending works fine too."'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_clean(df).collect()}
+    assert got[1].clean_text == ("This sentence has exactly six words.\n"
+                                 "Another proper sentence with five words!")
+    assert got[1].n_kept_lines == 2 and not got[1].dropped_doc
+    assert got[2].dropped_doc and got[2].clean_text is None  # code brace
+    assert got[3].dropped_doc                                 # lorem ipsum
+    assert got[4].dropped_doc and got[4].n_kept_lines == 0    # nothing kept
+    assert got[5].clean_text == rows[4][1] and not got[5].dropped_doc
+
+
+def test_pii_redaction_semantics(spark):
+    rows = [
+        (1, "mail bob.smith+x@corp.example.co.uk and 10.1.2.3 ok"),
+        (2, "no pii here at all"),
+        (3, "edge 999.999.999.999 is not an ip but 255.255.255.255 is"),
+        (4, "two mails a@b.io c@d.org one ip 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_stats(df).collect()}
+    assert got[1].redacted == "mail <EMAIL> and <IP> ok"
+    assert (got[1].n_emails, got[1].n_ips) == (1, 1)
+    assert got[2].redacted == rows[1][1] and got[2].n_emails == 0
+    assert "<IP> is" in got[3].redacted and "999.999" in got[3].redacted
+    assert (got[4].n_emails, got[4].n_ips) == (2, 1)
+
+
+def test_canonical_url_semantics(spark):
+    cases = [
+        ("HTTPS://WWW.Site.Example.COM/Path/X?utm_source=a&q=1#frag",
+         "https://www.site.example.com/Path/X?q=1"),
+        ("https://a.example/p/?utm_campaign=x", "https://a.example/p"),
+        ("https://a.example/p#only-frag", "https://a.example/p"),
+        ("https://a.example/p?gclid=abc&fbclid=def", "https://a.example/p"),
+        ("https://a.example/CaseKept/Path", "https://a.example/CaseKept/Path"),
+        ("not a url at all", "not a url at all"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    for (raw, want), g in zip(cases, got):
+        assert g == want, raw
+
+
+def test_url_dedup_groups_variants(spark):
+    rows = [
+        ("https://a.example/p",),
+        ("https://a.example/p/",),
+        ("HTTPS://A.Example/p?utm_source=x",),
+        ("https://a.example/q",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {r.url: r for r in url_dedup(df).collect()}
+    canon = {r.canonical_url for r in got.values()}
+    assert canon == {"https://a.example/p", "https://a.example/q"}
+    dups = sorted(u for u, r in got.items() if r.is_duplicate)
+    # min-url representative survives; the other two variants are dups
+    assert len(dups) == 2 and "https://a.example/q" not in dups
+
+
+def test_webfilter_plans_native(spark):
+    """All three operators are pure Catalyst — no Python eval nodes."""
+    df = spark.createDataFrame([(1, "a.", "https://x.example/p")],
+                               "doc_id long, text string, url string")
+    for op_df in (c4_clean(df), pii_stats(df), url_dedup(df)):
+        plan = op_df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
