@@ -521,3 +521,28 @@ def test_textract_layout_headings():
                    "Relationships": [{"Type": "CHILD", "Ids": ["l3"]}]})
     md = blocks_to_markdown(blocks)
     assert md == "# Annual Report\nordinary prose\n## Revenue"
+
+
+def test_textract_signature_blocks_do_not_break_markdown():
+    """SIGNATURES-feature responses carry text-less SIGNATURE blocks that
+    crash textractor's reading_order (the reference catches the error and
+    degrades the WHOLE page to plain LINE text, ocr/service.py:1593-1606).
+    Our renderer ignores signature geometry and keeps full markdown — a
+    documented improvement over the fallback."""
+    from intelligent_document_processing_on_aws_spark.kernels.textract_blocks import (
+        blocks_to_markdown,
+    )
+
+    bbox = {"Top": 0.1, "Left": 0.1, "Width": 0.2, "Height": 0.02}
+    blocks = [
+        {"BlockType": "PAGE", "Id": "p1"},
+        {"BlockType": "LINE", "Id": "l1", "Text": "Before signature",
+         "Geometry": {"BoundingBox": bbox}},
+        {"BlockType": "SIGNATURE", "Id": "s1",
+         "Geometry": {"BoundingBox": {"Top": 0.5, "Left": 0.1,
+                                      "Width": 0.2, "Height": 0.05}}},
+        {"BlockType": "LINE", "Id": "l2", "Text": "After signature",
+         "Geometry": {"BoundingBox": {"Top": 0.8, "Left": 0.1,
+                                      "Width": 0.2, "Height": 0.02}}},
+    ]
+    assert blocks_to_markdown(blocks) == "Before signature\nAfter signature"
