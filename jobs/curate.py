@@ -12,8 +12,13 @@ candidate set):
   3. Gopher repetition gate (operators/quality): duplicate-line and
      top-n-gram char-mass caps + symbol ratio — repetition-dominated docs
      never reach the near-dup stage (Rae et al. 2021 ordering);
-  4. exact dedup (hash groupBy) keeps one doc per identical text;
-  5. near-dup MinHash-LSH pairs -> connected components -> canonical only.
+  4. optional C4 line cleanup (--c4-clean): drop non-sentence lines and
+     brace/lorem-ipsum documents BEFORE dedup so boilerplate lines can't
+     glue unrelated docs into near-dup pairs (Raffel et al. 2020 order);
+  5. optional PII scrub (--redact-pii): email/IPv4 redaction on the
+     surviving text (the curated corpus never carries raw PII);
+  6. exact dedup (hash groupBy) keeps one doc per identical text;
+  7. near-dup MinHash-LSH pairs -> connected components -> canonical only.
 
 All stages are shuffle-lean: stats are map-only; the quality gate pushes
 into the scan; exact dedup is one hash aggregation; LSH is banded
@@ -63,6 +68,10 @@ def main() -> int:
     ap.add_argument("--min-tokens", type=int, default=10)
     ap.add_argument("--max-tokens", type=int, default=100_000)
     ap.add_argument("--near-dup-threshold", type=float, default=0.8)
+    ap.add_argument("--c4-clean", action="store_true",
+                    help="C4 line filter + doc-drop rules before dedup")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="redact emails/IPv4s in the curated text")
     ap.add_argument("--cores", type=int, default=8)
     args = ap.parse_args()
 
@@ -94,6 +103,20 @@ def main() -> int:
     gated = gated.join(quality_gate_ids(gated), "doc_id")
     n_repetition = gated.count()
 
+    n_c4 = None
+    if args.c4_clean:
+        from intelligent_document_processing_on_aws_spark.operators.webfilters import (
+            c4_clean,
+        )
+
+        cleaned = c4_clean(gated)
+        gated = gated.drop("text").join(
+            cleaned.where(~F.col("dropped_doc"))
+                   .select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id",
+        )
+        n_c4 = gated.count()
+
     exact = exact_dedup(gated)  # (doc_id, content_hash, ..., is_duplicate)
     exact_keep = exact.where(~F.col("is_duplicate")).select("doc_id")
 
@@ -116,6 +139,12 @@ def main() -> int:
     kept = survivors.join(
         groups.where(~F.col("is_duplicate")).select("doc_id"), "doc_id"
     )
+    if args.redact_pii:
+        from intelligent_document_processing_on_aws_spark.operators.webfilters import (
+            redact_pii,
+        )
+
+        kept = kept.withColumn("text", redact_pii(F.col("text")))
     kept.write.mode("overwrite").parquet(os.path.join(args.output, "curated"))
     n_kept = spark.read.parquet(os.path.join(args.output, "curated")).count()
 
@@ -123,6 +152,7 @@ def main() -> int:
         "docs": n_docs,
         "after_quality": n_quality,
         "after_repetition": n_repetition,
+        "after_c4": n_c4,
         "after_exact": n_exact,
         "kept": n_kept,
         "sec": round(time.time() - t0, 2),

@@ -87,3 +87,51 @@ def test_webfilter_plans_native(spark):
     for op_df in (c4_clean(df), pii_stats(df), url_dedup(df)):
         plan = op_df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_curate_job_c4_and_pii_flags(tmp_path):
+    """jobs/curate.py --c4-clean --redact-pii end-to-end on a
+    sentence-structured corpus: C4 passes real sentences, drops the
+    brace/lorem docs, and the curated output carries no raw PII."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows = []
+    for i in range(40):
+        body = (f"Document number {i} talks about the weather today.\n"
+                f"The quick brown fox jumped over fence number {i}.\n"
+                f"Contact admin{i}@corp.example.org for all the details.")
+        if i % 10 == 0:
+            body += "\nif (x) { broken code }"
+        rows.append({"doc_id": i, "text": body})
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    out = str(tmp_path / "curated")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "curate.py"),
+         "--input", src, "--output", out, "--c4-clean", "--redact-pii",
+         "--min-tokens", "5", "--min-quality", "0.0", "--cores", "4"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1])
+    assert stats["after_c4"] == 36          # the 4 brace docs dropped
+    assert stats["kept"] == 36
+    con = duckdb.connect()
+    n_pii = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/curated/*.parquet') "
+        f"WHERE text LIKE '%@corp.example.org%'"
+    ).fetchone()[0]
+    n_redacted = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/curated/*.parquet') "
+        f"WHERE text LIKE '%<EMAIL>%'"
+    ).fetchone()[0]
+    assert n_pii == 0 and n_redacted == 36
