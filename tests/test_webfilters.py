@@ -135,3 +135,37 @@ def test_curate_job_c4_and_pii_flags(tmp_path):
         f"WHERE text LIKE '%<EMAIL>%'"
     ).fetchone()[0]
     assert n_pii == 0 and n_redacted == 36
+
+
+def test_canonicalization_and_redaction_idempotent(spark):
+    """canonical_url and redact_pii are idempotent — applying twice never
+    changes the result (a second cleanup pass over an already-curated
+    corpus must be a no-op)."""
+    from intelligent_document_processing_on_aws_spark.operators.webfilters import (
+        redact_pii,
+    )
+
+    urls = [
+        "HTTPS://WWW.S.Example/A/b?utm_source=x&q=2#f",
+        "https://s.example/p/",
+        "http://s.example",
+        "ftp://Host.Example/Z?ref=abc",
+        "relative/path only",
+        "",
+    ]
+    texts = [
+        "mail a@b.io twice a@b.io and ip 10.0.0.1",
+        "<EMAIL> already redacted and <IP> too",
+        "edge a@b.io.",
+        "",
+    ]
+    udf_once = spark.createDataFrame([(u,) for u in urls], "url string") \
+        .select(canonical_url(F.col("url")).alias("c1"))
+    twice = udf_once.select(canonical_url(F.col("c1")).alias("c2"), "c1")
+    for r in twice.collect():
+        assert r.c1 == r.c2, r
+    t_once = spark.createDataFrame([(t,) for t in texts], "text string") \
+        .select(redact_pii(F.col("text")).alias("r1"))
+    t_twice = t_once.select(redact_pii(F.col("r1")).alias("r2"), "r1")
+    for r in t_twice.collect():
+        assert r.r1 == r.r2, r
