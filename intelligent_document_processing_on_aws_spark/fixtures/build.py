@@ -123,6 +123,36 @@ def build_xls_fixtures(out_dir: str = FIXTURES_DIR, n: int = N_XLS) -> None:
     print(f"wrote xls_docs/xls_golden: {n} rows")
 
 
+N_DOC = 100
+
+
+def build_doc_fixtures(out_dir: str = FIXTURES_DIR, n: int = N_DOC) -> None:
+    from .doc_gen import gen_docs
+
+    docs = gen_docs(n)
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "url": [d["url"] for d in docs],
+            "payload": [d["payload"] for d in docs],
+        },
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("url", pa.string()), ("payload", pa.binary())]
+        ),
+    )
+    pq.write_table(table, os.path.join(out_dir, "doc_docs.parquet"),
+                   compression="zstd")
+    golden = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "extracted_text": [d["extracted_text"] for d in docs],
+        }
+    )
+    pq.write_table(golden, os.path.join(out_dir, "doc_golden.parquet"),
+                   compression="zstd")
+    print(f"wrote doc_docs/doc_golden: {n} rows")
+
+
 N_REALPDF = 400
 
 
@@ -228,6 +258,7 @@ def build(out_dir: str = FIXTURES_DIR) -> None:
     build_office(out_dir)
     build_realpdf(out_dir)
     build_xls_fixtures(out_dir)
+    build_doc_fixtures(out_dir)
     build_csv(out_dir)
     build_summaries(out_dir)
     build_ocrblocks(out_dir)

@@ -55,9 +55,15 @@ def _dir_entry(name: str, obj_type: int, start: int, size: int,
 
 
 def cfb_container(workbook: bytes, stream_name: str = "Workbook") -> bytes:
-    """A v3 CFB file (512-byte sectors) with one stream. Streams under the
-    4096-byte cutoff live in the mini-stream (64-byte mini-sectors), as
-    the spec requires — exercising the reader's mini-FAT path."""
+    """A v3 CFB file with one stream (see cfb_container_multi)."""
+    return cfb_container_multi({stream_name: workbook})
+
+
+def cfb_container_multi(streams: dict[str, bytes]) -> bytes:
+    """A v3 CFB file (512-byte sectors) holding the given streams.
+    Streams under the 4096-byte cutoff live in the shared mini-stream
+    (64-byte mini-sectors), as the spec requires — exercising the
+    reader's mini-FAT path; larger streams get FAT chains."""
     sectors: list[bytes] = []
     fat: list[int] = []
 
@@ -71,29 +77,38 @@ def cfb_container(workbook: bytes, stream_name: str = "Workbook") -> bytes:
             fat.append(start + i + 1 if i < n - 1 else _ENDOFCHAIN)
         return start
 
-    if len(workbook) < 4096:
-        # mini-stream layout
-        n_mini = (len(workbook) + 63) // 64
-        mini_stream = workbook.ljust(n_mini * 64, b"\x00")
-        minifat = [i + 1 for i in range(n_mini - 1)] + [_ENDOFCHAIN]
+    # mini-stream allocation: all sub-cutoff streams share one mini
+    # stream; each gets its own mini-FAT chain
+    mini_stream = bytearray()
+    minifat: list[int] = []
+    placements: dict[str, tuple[int, bool]] = {}  # name -> (start, in_mini)
+    for name, data in streams.items():
+        if data and len(data) < 4096:
+            n_mini = (len(data) + 63) // 64
+            start = len(minifat)
+            mini_stream += data.ljust(n_mini * 64, b"\x00")
+            minifat += [start + i + 1 for i in range(n_mini - 1)] \
+                + [_ENDOFCHAIN]
+            placements[name] = (start, True)
+    for name, data in streams.items():
+        if name not in placements:
+            placements[name] = (add_stream(data), False)
+    if minifat:
         minifat_bytes = struct.pack(f"<{len(minifat)}I", *minifat)
-        ms_start = add_stream(mini_stream)
+        ms_start = add_stream(bytes(mini_stream))
         mf_start = add_stream(minifat_bytes)
-        wb_start, wb_in_mini = 0, True
         root_start, root_size = ms_start, len(mini_stream)
         n_minifat_sectors = (len(minifat_bytes) + 511) // 512
     else:
-        wb_start = add_stream(workbook)
-        wb_in_mini = False
         mf_start, n_minifat_sectors = _ENDOFCHAIN, 0
         root_start, root_size = _ENDOFCHAIN, 0
 
-    directory = (
-        _dir_entry("Root Entry", 5, root_start, root_size, child=1)
-        + _dir_entry(stream_name, 2,
-                     wb_start if not wb_in_mini else 0, len(workbook))
-        + bytes(128) + bytes(128)
-    )
+    directory = _dir_entry("Root Entry", 5, root_start, root_size, child=1)
+    for name, data in streams.items():
+        start, _in_mini = placements[name]
+        directory += _dir_entry(name, 2, start, len(data))
+    while (len(directory) // 128) % 4:
+        directory += bytes(128)
     dir_start = add_stream(directory)
 
     # FAT sectors (self-referencing entries), fixpoint on count

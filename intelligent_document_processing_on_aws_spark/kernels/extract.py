@@ -76,9 +76,20 @@ def extract_page(
 
         return ctype, extract_docx(content)
     if ctype == filetype.XLS:
-        from .xls_biff import extract_xls
+        # legacy-office CFB: route by directory stream names — Workbook/
+        # Book -> BIFF8 spreadsheet, WordDocument -> Word 97 binary text
+        # (beyond the reference: GenAIIDP maps .doc to python-docx, which
+        # cannot read the binary format). Anything else errors cleanly.
+        from .xls_biff import cfb_stream_names, extract_xls
 
-        return ctype, extract_xls(content)
+        stream_names = set(cfb_stream_names(content))
+        if stream_names & {"Workbook", "Book"}:
+            return ctype, extract_xls(content)
+        if "WordDocument" in stream_names:
+            from .doc_word import extract_doc
+
+            return "doc", extract_doc(content)
+        return ctype, extract_xls(content)  # raises the no-stream XlsError
     if ctype == filetype.XLSX:
         from .office import extract_xlsx
 

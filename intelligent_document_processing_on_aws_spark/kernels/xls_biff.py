@@ -71,12 +71,42 @@ def _read_chain(payload: bytes, fat: list[int], start: int,
     return bytes(out)
 
 
+def cfb_stream_names(payload: bytes) -> list[str]:
+    """Stream (type-2) entry names in the CFB directory — the cheap probe
+    the legacy-office dispatcher uses to route Workbook vs WordDocument."""
+    return [e[0] for e in _cfb_parse(payload)[0] if e[1] == 2]
+
+
 def cfb_stream(payload: bytes, names: tuple[str, ...] = ("Workbook", "Book")) -> bytes:
     """The named stream's bytes from a CFB file (first name that exists).
 
     Follows the spec shapes that matter in the wild: header DIFAT + DIFAT
     chain sectors, FAT chains for large streams, mini-FAT over the root
     entry's mini stream for streams under the cutoff."""
+    entries, ctx = _cfb_parse(payload)
+    payload_, fat, sect_size, mini_size, mini_cutoff, mini_stream, minifat = ctx
+    for want in names:
+        e = next((e for e in entries if e[1] == 2 and e[0] == want), None)
+        if e is None:
+            continue
+        _, _, start, size = e
+        if size < mini_cutoff:
+            out = bytearray()
+            sect = start
+            seen = 0
+            while sect != _ENDOFCHAIN:
+                if sect >= len(minifat) or seen > len(minifat) + 2:
+                    raise XlsError("broken mini-FAT chain")
+                out += mini_stream[sect * mini_size:(sect + 1) * mini_size]
+                sect = minifat[sect]
+                seen += 1
+            return bytes(out[:size])
+        return _read_chain(payload, fat, start, sect_size)[:size]
+    raise XlsError(f"no {'/'.join(names)} stream")
+
+
+def _cfb_parse(payload: bytes):
+    """Parse container structure once: (directory entries, context)."""
     if not payload.startswith(XLS_MAGIC) or len(payload) < 512:
         raise XlsError("not a CFB file")
     sector_shift = struct.unpack_from("<H", payload, 30)[0]
@@ -126,24 +156,9 @@ def cfb_stream(payload: bytes, names: tuple[str, ...] = ("Workbook", "Book")) ->
     minifat = _u32s(_read_chain(payload, fat, first_minifat, sect_size)) \
         if first_minifat not in (_ENDOFCHAIN, _FREESECT) else []
 
-    for want in names:
-        e = next((e for e in entries if e[1] == 2 and e[0] == want), None)
-        if e is None:
-            continue
-        _, _, start, size = e
-        if size < mini_cutoff:
-            out = bytearray()
-            sect = start
-            seen = 0
-            while sect != _ENDOFCHAIN:
-                if sect >= len(minifat) or seen > len(minifat) + 2:
-                    raise XlsError("broken mini-FAT chain")
-                out += mini_stream[sect * mini_size:(sect + 1) * mini_size]
-                sect = minifat[sect]
-                seen += 1
-            return bytes(out[:size])
-        return _read_chain(payload, fat, start, sect_size)[:size]
-    raise XlsError("no Workbook stream")
+    ctx = (payload, fat, sect_size, mini_size, mini_cutoff,
+           mini_stream, minifat)
+    return entries, ctx
 
 
 # ---------------------------------------------------------------------------

@@ -121,11 +121,17 @@ def test_corrupt_cfb_contained():
 
 def test_non_workbook_cfb_errors_cleanly():
     wb = build_xls({"S": [["a"], ["b"]]}, random.Random(1))
-    doc = cfb_container(wb, stream_name="WordDocument")
+    # a CFB with NEITHER Workbook nor WordDocument streams: clean error
+    doc = cfb_container(wb, stream_name="PowerPoint Document")
     with pytest.raises(XlsError):
         cfb_stream(doc)
-    ctype, _res, err = extract_page_safe(doc, "legacy.doc")
+    ctype, _res, err = extract_page_safe(doc, "legacy.ppt")
     assert ctype == "error" and "XlsError" in err
+    # BIFF bytes masquerading as a WordDocument stream: routed to the
+    # Word branch, fails the FIB magic check loudly
+    masq = cfb_container(wb, stream_name="WordDocument")
+    ctype, _res, err = extract_page_safe(masq, "legacy.doc")
+    assert ctype == "error" and "DocError" in err
 
 
 def test_xls_fuzz_template_roundtrip():
