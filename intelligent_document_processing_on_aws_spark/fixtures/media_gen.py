@@ -80,3 +80,48 @@ def webp_bytes(width: int, height: int) -> bytes:
     if len(chunk) % 2:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# -- real-pixel PNG fixtures (r5: codec-backed resize path) -------------------
+
+def gradient_image(i: int):
+    """Deterministic real pixel content for item i: closed-form gradient
+    (no RNG — the oracle re-derives it from the same integer formulas).
+    Shape rotates gray / RGB / RGBA; dims span 160..999 x 120..999 so the
+    corpus mixes downscale and leave-unchanged cases against the
+    reference's 951x1268 fit-within target."""
+    import numpy as np
+
+    w = 160 + (i * 97) % 840
+    h = 120 + (i * 61) % 880
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    base = (x * 3 + y * 5 + i * 11) % 256
+    if i % 3 == 0:
+        return base.astype(np.uint8)
+    n_ch = 3 if i % 3 == 1 else 4
+    return np.stack(
+        [((base + c * 17 + i * 7) % 256).astype(np.uint8)
+         for c in range(n_ch)], axis=2)
+
+
+def _gradient_row_filter(y: int) -> int:
+    """Cycle the vectorized filters (None/Sub/Up) with periodic Average
+    and Paeth rows — every decoder filter path exercised per image."""
+    if y % 29 == 7:
+        return 3
+    if y % 29 == 8:
+        return 4
+    return (0, 1, 2)[y % 3]
+
+
+def gradient_png(i: int) -> bytes:
+    """encode_png of gradient_image(i); every 16th item (i % 16 == 5) is
+    TRUNCATED mid-chunk — a malformed payload that must land in the
+    operator's error column, never raise."""
+    from ..kernels.png_codec import encode_png
+
+    data = encode_png(gradient_image(i), row_filter=_gradient_row_filter)
+    if i % 16 == 5:
+        return data[:30]
+    return data

@@ -2,14 +2,19 @@
 
 Image/audio/video payloads travel as `binary` columns with a typed metadata
 struct; decode/feature-extract/resize/frame-sample run as Arrow-batched
-mapInPandas stages. The codec libraries (PIL/cv2/ffmpeg — used by the
-reference's image pipeline, lib/idp_common_pkg/idp_common/image/
-__init__.py:13-96 resize, :125-188 binarization) are NOT in this container,
-so the decode step is STUBBED: `decode=False` (default) computes real,
-deterministic byte-level features (the Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is real and tested);
-`decode=True` raises NotImplementedError at the exact point a codec would
-be invoked.
+mapInPandas stages.
+
+Codec status (r5): PNG decodes END-TO-END via the from-scratch stdlib
+decoder (kernels/png_codec.py — zlib inflate, all 5 scanline filters,
+gray/RGB/palette/alpha, Adam7), feeding the real resize/binarize math in
+kernels/image_ops.py — the reference's image pipeline semantics
+(lib/idp_common_pkg/idp_common/image/__init__.py:13-96 resize, :125-188
+binarization) run on real pixels for the dominant web image format.
+JPEG/audio/video decode remains an honest NotImplementedError boundary
+(PIL/cv2/ffmpeg absent from this container; JPEG huffman entropy decode
+is out of scope): `decode=False` (default) computes real, deterministic
+byte-level features; `decode=True` decodes PNG payloads and raises at the
+marked point for anything else.
 
 Schema contract for a multimodal table:
   (item_id long, modality string, payload binary,
@@ -75,35 +80,132 @@ def _stub_features(payload: bytes, dim: int = 8) -> list[float]:
             for i in range(dim)]
 
 
+def _png_features(payload: bytes, dim: int) -> list[float]:
+    """Real pixel features from a decoded PNG: log-dims, luma mean/std and
+    a 4-bin luma histogram — deterministic, codec-backed."""
+    import math
+
+    import numpy as np
+
+    from ..kernels.image_ops import to_grayscale
+    from ..kernels.png_codec import decode_png
+
+    img = decode_png(payload)
+    gray = to_grayscale(img[:, :, :3] if img.ndim == 3 else img)
+    h, w = gray.shape
+    hist = np.bincount(gray.reshape(-1) >> 6, minlength=4) / gray.size
+    feats = [
+        math.log1p(w), math.log1p(h),
+        float(gray.mean()) / 255.0, float(gray.std()) / 255.0,
+        *[float(x) for x in hist],
+    ]
+    feats = (feats + [0.0] * dim)[:dim]
+    return [round(f, 6) for f in feats]
+
+
 def extract_features(items: DataFrame, decode: bool = False,
                      feature_dim: int = 8) -> DataFrame:
     """Multimodal feature extraction stage (Arrow-batched).
 
     decode=False: byte-level features (real) + deterministic stub vector.
-    decode=True: would decode media with PIL/cv2/ffmpeg — not available in
-    this environment -> NotImplementedError (clearly-marked stub point)."""
+    decode=True: PNG payloads decode with the from-scratch stdlib codec
+    (kernels/png_codec.py) and yield real pixel features; any other
+    payload raises NotImplementedError (JPEG/audio/video need PIL/cv2/
+    ffmpeg, absent from this container — clearly-marked boundary)."""
+    from ..kernels.png_codec import PNG_SIG
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
+            feats = []
             if decode:
-                raise NotImplementedError(
-                    "media decode requires PIL/cv2/ffmpeg (not in this "
-                    "container); run with decode=False for byte-level features"
-                )
+                for p in pdf["payload"]:
+                    b = bytes(p)
+                    if not b.startswith(PNG_SIG):
+                        raise NotImplementedError(
+                            "decode=True supports PNG (stdlib decoder); "
+                            "JPEG/audio/video decode requires PIL/cv2/ffmpeg "
+                            "(not in this container) — run with decode=False "
+                            "for byte-level features"
+                        )
+                    feats.append(_png_features(b, feature_dim))
+            else:
+                feats = [_stub_features(bytes(p), feature_dim)
+                         for p in pdf["payload"]]
             out = {
                 "item_id": pdf["item_id"],
                 "modality": pdf["modality"],
                 "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
                 "payload_sha1": [hashlib.sha1(bytes(p)).hexdigest() for p in pdf["payload"]],
                 "byte_entropy": [_byte_entropy(bytes(p)) for p in pdf["payload"]],
-                "features": [_stub_features(bytes(p), feature_dim) for p in pdf["payload"]],
+                "features": feats,
             }
             yield pd.DataFrame(out)
 
     return items.select("item_id", "modality", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("in_width", T.IntegerType()),
+        T.StructField("in_height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized_sha1", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_resize_images(items: DataFrame, target_w: int = 951,
+                         target_h: int = 1268) -> DataFrame:
+    """(item_id, in/out dims, resized_sha1, error) — the reference's image
+    preprocessing (lib/idp_common_pkg/idp_common/image/__init__.py:54-66:
+    aspect-preserving fit-within, downscale-only, defaults 951x1268) run
+    END-TO-END on real pixels: stdlib PNG decode -> bilinear resize ->
+    sha1 of the resized RGB bytes. Non-PNG / malformed payloads land in
+    the error column (loud-degrade convention), never kill the job.
+    Map-only Arrow lineage — scales exactly like the scan."""
+    from ..kernels.image_ops import resize_array
+    from ..kernels.png_codec import PngError, decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k.name: [] for k in RESIZE_SCHEMA.fields}
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                rows["item_id"].append(int(item_id))
+                try:
+                    img = decode_png(bytes(payload) if payload else b"")
+                    if img.ndim == 2:
+                        img = np.dstack([img, img, img])
+                    img = img[:, :, :3]           # drop alpha for resize
+                    h, w = img.shape[:2]
+                    out = resize_array(img, target_w, target_h)
+                    oh, ow = out.shape[:2]
+                    rows["in_width"].append(w)
+                    rows["in_height"].append(h)
+                    rows["out_width"].append(ow)
+                    rows["out_height"].append(oh)
+                    rows["resized_sha1"].append(
+                        hashlib.sha1(out.tobytes()).hexdigest())
+                    rows["error"].append(None)
+                except (PngError, NotImplementedError) as e:
+                    rows["in_width"].append(None)
+                    rows["in_height"].append(None)
+                    rows["out_width"].append(None)
+                    rows["out_height"].append(None)
+                    rows["resized_sha1"].append(None)
+                    rows["error"].append(f"{type(e).__name__}: {e}"[:200])
+            yield pd.DataFrame(rows)
+
+    return items.select("item_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
 
 
 def probe_image_meta(items: DataFrame) -> DataFrame:

@@ -161,7 +161,9 @@ def doc_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            sig = [repetition_signals(t) for t in pdf["__text"]]
+            # NULL text arrives as None through Arrow — treat as empty
+            # (all-zero signals) instead of failing the whole task
+            sig = [repetition_signals(t or "") for t in pdf["__text"]]
             out = {"doc_id": pdf["doc_id"]}
             for j, c in enumerate(REPETITION_COLS):
                 out[c] = [s[j] for s in sig]

@@ -393,7 +393,10 @@ def lsh_query_probes(
             base = ((proj > 0) @ weights).astype(np.int64)
             probes = [base]
             if n_probes > 1:
-                order = np.argsort(np.abs(proj), axis=1)  # ascending margin
+                # stable sort so exact |projection| ties resolve to the
+                # LOWEST bit index — matches the oracle's 'abs(d), bit'
+                # ordering (default quicksort ties are arbitrary)
+                order = np.argsort(np.abs(proj), axis=1, kind="stable")
                 for j in range(n_probes - 1):
                     probes.append(base ^ weights[order[:, j]])
             stacked = np.stack(probes, axis=1)       # (n, n_probes)

@@ -71,15 +71,28 @@ def c4_clean(docs: DataFrame, text_col: str = "text",
 
 # explicit ASCII classes; identical semantics under Java regex and RE2
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
-IPV4_RE = (r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
-           r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}")
+_IPV4_CORE = (r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+              r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}")
+# Digit/dot boundaries WITHOUT lookarounds (RE2 has none): one consumed
+# boundary char (or string edge) on each side, preserved via $1/$5 in the
+# replacement. Rejects partial matches inside longer runs ("1.2.3.4567")
+# and five-octet chains ("1.2.3.4.5").
+IPV4_RE = r"(^|[^0-9.])" + _IPV4_CORE + r"([^0-9.]|$)"
+_IPV4_REPL = "$1<IP>$5"          # Java replacement syntax (Spark)
+IPV4_REPL_RE2 = r"\1<IP>\5"      # RE2 replacement syntax (DuckDB oracle)
 
 
 def redact_pii(col: Column) -> Column:
     """Emails -> <EMAIL>, IPv4 addresses -> <IP> (training-corpus PII
-    scrub; the standard regex-redaction pass)."""
+    scrub; the standard regex-redaction pass).
+
+    The IP replace runs TWICE: the consumed-boundary pattern cannot match
+    two IPs separated by a single char in one pass (the first match eats
+    the shared separator). One pass leaves no two unmatched IPs adjacent,
+    so a second pass always finishes the chain."""
     out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
-    return F.regexp_replace(out, IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, IPV4_RE, _IPV4_REPL)
+    return F.regexp_replace(out, IPV4_RE, _IPV4_REPL)
 
 
 def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -101,7 +114,18 @@ def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 # -- URL canonicalization + dedup --------------------------------------------
 
-_TRACKING_PARAM = r"(utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid)=[^&#]*"
+# Param names anchored to a CONSUMED [?&] separator (no lookbehind — RE2
+# has none) so suffix collisions ("?href=", "?pref=") survive. A run of
+# consecutive tracking params is eaten in one match (the separator between
+# run members is consumed, so per-match boundary anchoring still works);
+# the trailing '&', if any, is consumed and the leading separator restored
+# via $1 / \1.
+_TRACK_NAMES = r"utm_[a-z]+|gclid|fbclid|ref|mc_cid|mc_eid"
+_TRACKING_PARAM = (
+    rf"([?&])({_TRACK_NAMES})=[^&#]*(&({_TRACK_NAMES})=[^&#]*)*&?"
+)
+_TRACKING_REPL = "$1"            # Java replacement syntax (Spark)
+TRACKING_REPL_RE2 = r"\1"        # RE2 replacement syntax (DuckDB oracle)
 
 
 def canonical_url(col: Column) -> Column:
@@ -112,7 +136,7 @@ def canonical_url(col: Column) -> Column:
     Pure sequential regexp_replace steps so the DuckDB oracle applies the
     IDENTICAL pipeline."""
     u = F.regexp_replace(col, r"#.*$", "")                  # fragment
-    u = F.regexp_replace(u, _TRACKING_PARAM + r"&?", "")     # tracking params
+    u = F.regexp_replace(u, _TRACKING_PARAM, _TRACKING_REPL)  # tracking params
     u = F.regexp_replace(u, r"[?&]$", "")                    # dangling sep
     u = F.regexp_replace(u, r"/$", "")                       # trailing slash
     # lowercase scheme://host only (path/query stay case-sensitive)

@@ -51,6 +51,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--json-out", default=None,
+                    help="write per-query results as JSON (sweep artifact)")
     args = ap.parse_args()
 
     # data-derived oracles (IVF centroids) must read the SAME tables the
@@ -70,6 +72,7 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    results = {}
     for name, fn in qs.items():
         if args.only and name != args.only:
             continue
@@ -77,10 +80,13 @@ def main() -> int:
             sdf = fn(spark, args.sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
+            results[name] = {"ok": False, "err": f"spark: {str(e)[:300]}"}
             print(f"[FAIL-spark] {name}: {str(e)[:300]}")
             continue
         if name not in oracles:
             print(f"[rows-only] {name}: {len(sdf)} rows, cols={sorted(sdf.columns)}")
+            results[name] = {"ok": len(sdf) > 0, "rows_only": True,
+                             "spark_rows": len(sdf)}
             if len(sdf) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
@@ -88,6 +94,7 @@ def main() -> int:
             odf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR: {e}"))
+            results[name] = {"ok": False, "err": f"oracle: {str(e)[:300]}"}
             print(f"[FAIL-oracle] {name}: {str(e)[:300]}")
             continue
         problems = []
@@ -104,12 +111,27 @@ def main() -> int:
                 b = {tuple(_norm(v) for v in t) for t in odf[cols].itertuples(index=False)}
                 only_a, only_b = list(a - b)[:3], list(b - a)[:3]
                 problems.append(f"spark-only={only_a} oracle-only={only_b}")
+        results[name] = {"ok": not problems, "spark_rows": len(sdf),
+                         "oracle_rows": len(odf)}
         if problems:
+            results[name]["err"] = "; ".join(p[:400] for p in problems)
             failures.append((name, "; ".join(p[:400] for p in problems)))
             print(f"[FAIL] {name}: {'; '.join(p[:400] for p in problems)}")
         else:
             print(f"[OK]   {name}: {len(sdf)} rows")
     spark.stop()
+    if args.json_out:
+        import json
+
+        payload = {
+            "sf_dir": args.sf_dir,
+            "n_queries": len(results),
+            "n_ok": sum(1 for r in results.values() if r["ok"]),
+            "queries": results,
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {args.json_out}")
     if failures:
         print(f"\n{len(failures)} FAILURES")
         return 1

@@ -435,3 +435,21 @@ def test_lsh_multiprobe_improves_recall(spark):
     for r in probes:
         by_q.setdefault(r.query_id, []).append(r.q_bucket)
     assert all(len(v) == 5 and len(set(v)) == 5 for v in by_q.values())
+
+
+def test_lsh_probe_tie_break_is_lowest_bit(spark):
+    """Exact |projection| ties (the zero vector ties every plane at 0)
+    must flip the LOWEST bit indices first — the stable-sort order the
+    DuckDB oracle's 'abs(d) ASC, bit ASC' uses (r5 ADVICE fix)."""
+    from intelligent_document_processing_on_aws_spark.operators.similarity import (
+        lsh_query_probes,
+    )
+
+    q = spark.createDataFrame(
+        [(0, [0.0] * 16)], "query_id long, q_vec array<float>")
+    probes = sorted(
+        (r.q_bucket for r in
+         lsh_query_probes(q, dim=16, n_bits=10, n_probes=4).collect()))
+    # zero vector: proj>0 false everywhere -> base bucket 0; ties resolve
+    # to bits 0,1,2 -> buckets 1, 2, 4
+    assert probes == [0, 1, 2, 4]

@@ -120,6 +120,27 @@ def test_quality_gate_drops_repetitious_docs(spark):
     assert kept == {1}
 
 
+def test_doc_quality_null_text_yields_zero_signals(spark):
+    """A NULL text row must flow through the Arrow pass as empty text
+    (all-zero repetition signals), not crash the whole task (r5 ADVICE
+    fix)."""
+    from intelligent_document_processing_on_aws_spark.operators.quality import (
+        doc_quality,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a normal line of words here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in doc_quality(df).collect()}
+    assert len(got) == 2
+    for c in REPETITION_COLS:
+        assert got[1][c] == 0.0, c
+    zero_sig = repetition_signals("")
+    for j, c in enumerate(REPETITION_COLS):
+        assert got[1][c] == zero_sig[j]
+
+
 def test_doc_quality_plan_vectorized_and_shuffle_free(spark):
     """Map-only lineage: one MapInPandas over the scan with the native
     signals codegen'd beneath it — no BatchEvalPython, no Exchange, no

@@ -48,6 +48,27 @@ def test_pii_redaction_semantics(spark):
     assert (got[4].n_emails, got[4].n_ips) == (2, 1)
 
 
+def test_pii_ip_digit_boundaries(spark):
+    """r5 ADVICE fix: the IPv4 pattern needs digit/dot boundaries — no
+    partial redaction inside longer digit runs, no five-octet chains, and
+    single-char-separated IP chains fully redacted by the two-pass
+    replace."""
+    rows = [
+        (1, "port 1.2.3.4567 is not an ip"),
+        (2, "chain 1.2.3.4.5 is five octets not an ip"),
+        (3, "adjacent 1.2.3.4 5.6.7.8 9.9.9.9 all ips"),
+        (4, "10.0.0.1 leads and trails 10.0.0.2"),
+        (5, "v10.1.2.3 version-like still redacts after the v"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.redacted for r in pii_stats(df).collect()}
+    assert got[1] == rows[0][1]                      # untouched
+    assert got[2] == rows[1][1]                      # untouched
+    assert got[3] == "adjacent <IP> <IP> <IP> all ips"
+    assert got[4] == "<IP> leads and trails <IP>"
+    assert got[5] == "v<IP> version-like still redacts after the v"
+
+
 def test_canonical_url_semantics(spark):
     cases = [
         ("HTTPS://WWW.Site.Example.COM/Path/X?utm_source=a&q=1#frag",
@@ -57,6 +78,20 @@ def test_canonical_url_semantics(spark):
         ("https://a.example/p?gclid=abc&fbclid=def", "https://a.example/p"),
         ("https://a.example/CaseKept/Path", "https://a.example/CaseKept/Path"),
         ("not a url at all", "not a url at all"),
+        # separator-anchored tracking names: params whose name merely ENDS
+        # in a tracking name must survive untouched (r5 ADVICE fix)
+        ("https://a.example/p?href=abc", "https://a.example/p?href=abc"),
+        ("https://a.example/p?pref=1&b=2", "https://a.example/p?pref=1&b=2"),
+        ("https://a.example/p?xref=z&ref=t", "https://a.example/p?xref=z"),
+        # runs of consecutive tracking params collapse in one pass,
+        # whatever their position
+        ("https://a.example/p?utm_a=1&utm_b=2&q=3",
+         "https://a.example/p?q=3"),
+        ("https://a.example/p?q=3&utm_a=1&utm_b=2",
+         "https://a.example/p?q=3"),
+        ("https://a.example/p?utm_a=1&q=3&ref=2&gclid=x",
+         "https://a.example/p?q=3"),
+        ("https://a.example/p?ref=", "https://a.example/p"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
