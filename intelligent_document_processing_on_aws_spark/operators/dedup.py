@@ -33,6 +33,26 @@ from pyspark.sql import types as T
 from ..kernels.fingerprint import lsh_band_keys, minhash_signature, simhash64
 
 
+def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None,
+                      eager: bool = True) -> DataFrame:
+    """Lineage truncation with a durability knob.
+
+    checkpoint_dir=None (default): localCheckpoint — blocks live in
+    executor storage; fastest, right for local/short jobs, but an
+    executor loss makes the truncated lineage unrecoverable (Spark cannot
+    recompute a lost localCheckpoint).
+
+    checkpoint_dir=<path/URI>: reliable checkpoint() to that directory
+    (HDFS/S3 in production) — a multi-hour 100-TB CC loop or posting-table
+    build survives executor loss and resumes from the persisted blocks.
+    Setting the SparkContext checkpoint dir is idempotent per call."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc rows: (doc_id, content_hash, group_size, canonical_doc_id,
     is_duplicate). Canonical = min doc_id of the hash group."""
@@ -72,6 +92,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     max_df: int | None = DEFAULT_MAX_DF,
     materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Pairwise Jaccard >= threshold over k-token shingle sets.
 
@@ -112,9 +133,11 @@ def ngram_jaccard_pairs(
     # 100 TB that's re-shingling everything 4x. Lazy localCheckpoint =
     # the standard "build the index once" step (computed on first use,
     # executor-storage reuse after, lineage truncated).
-    # materialize=False keeps the full lineage (plan audits, debugging).
+    # materialize=False keeps the full lineage (plan audits, debugging);
+    # checkpoint_dir switches to a RELIABLE checkpoint for fault tolerance
+    # on long multi-executor runs.
     if materialize:
-        sh = sh.localCheckpoint(eager=False)
+        sh = _truncate_lineage(sh, checkpoint_dir, eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -218,6 +241,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Banded MinHash-LSH candidates verified by exact Jaccard.
 
@@ -238,7 +262,7 @@ def minhash_lsh_pairs(
     # signature computation feeds both self-join sides (and the cap count
     # above): checkpoint so MinHash runs ONCE per doc, not per branch
     if materialize:
-        band_df = band_df.localCheckpoint(eager=False)
+        band_df = _truncate_lineage(band_df, checkpoint_dir, eager=False)
     a = band_df.alias("a")
     b = band_df.alias("b")
     candidates = (
@@ -251,7 +275,7 @@ def minhash_lsh_pairs(
     # the table feeds sizes + both posting sides)
     sh = _shingles_df(docs, text_col, k)
     if materialize:
-        sh = sh.localCheckpoint(eager=False)
+        sh = _truncate_lineage(sh, checkpoint_dir, eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingle"))
     pb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingle"))
@@ -311,7 +335,8 @@ def simhash_chunks_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   text_col: str = "text",
                   max_bucket: int | None = DEFAULT_MAX_BUCKET,
-                  materialize: bool = True) -> DataFrame:
+                  materialize: bool = True,
+                  checkpoint_dir: str | None = None) -> DataFrame:
     """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
 
     Band blocking: 4x16-bit chunks — any pair within Hamming<=3 shares at
@@ -327,7 +352,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     chunks = _cap_buckets(chunks, ["band", "chunk"], max_bucket)
     # hash once per doc, not once per plan branch (cap count + 2 sides)
     if materialize:
-        chunks = chunks.localCheckpoint(eager=False)
+        chunks = _truncate_lineage(chunks, checkpoint_dir, eager=False)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -352,6 +377,7 @@ def duplicate_groups(
     pairs: DataFrame,
     max_iter: int = 20,
     id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs -> connected components -> canonical doc.
 
@@ -375,12 +401,16 @@ def duplicate_groups(
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # localCheckpoint (eager) after every round: iterative self-joins grow
+    # Checkpoint (eager) after every round: iterative self-joins grow
     # the logical plan exponentially otherwise (each round re-derives all
-    # previous rounds) — truncating lineage keeps round cost constant
-    sym = sym.localCheckpoint()
-    labels = docs.select(F.col(id_col).alias("node"),
-                         F.col(id_col).alias("label")).localCheckpoint()
+    # previous rounds) — truncating lineage keeps round cost constant.
+    # checkpoint_dir=None -> localCheckpoint (fast, executor-memory);
+    # set it to durable storage so a multi-hour CC loop survives executor
+    # loss and resumes from the last round's persisted labels.
+    sym = _truncate_lineage(sym, checkpoint_dir)
+    labels = _truncate_lineage(
+        docs.select(F.col(id_col).alias("node"),
+                    F.col(id_col).alias("label")), checkpoint_dir)
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["src"] == labels["node"])
@@ -394,8 +424,8 @@ def duplicate_groups(
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label")))
                 .alias("label"),
             )
-            .localCheckpoint()
         )
+        new_labels = _truncate_lineage(new_labels, checkpoint_dir)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))

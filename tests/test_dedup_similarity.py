@@ -453,3 +453,50 @@ def test_lsh_probe_tie_break_is_lowest_bit(spark):
     # zero vector: proj>0 false everywhere -> base bucket 0; ties resolve
     # to bits 0,1,2 -> buckets 1, 2, 4
     assert probes == [0, 1, 2, 4]
+
+
+def test_duplicate_groups_durable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the CC loop's lineage truncation from
+    localCheckpoint (executor memory) to RELIABLE checkpoint files — same
+    results, and every round's labels are persisted to durable storage so
+    an executor loss mid-loop is recoverable (r5 VERDICT #3). Default
+    behavior writes nothing."""
+    import os
+
+    from intelligent_document_processing_on_aws_spark.operators.dedup import (
+        duplicate_groups,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11)],
+        "doc_id_a long, doc_id_b long")
+
+    expected = sorted(
+        (r.doc_id, r.group_id, r.group_size, r.is_duplicate)
+        for r in duplicate_groups(docs, pairs).collect())
+
+    ckpt = tmp_path / "ckpt"
+    got = sorted(
+        (r.doc_id, r.group_id, r.group_size, r.is_duplicate)
+        for r in duplicate_groups(
+            docs, pairs, checkpoint_dir=str(ckpt)).collect())
+    assert got == expected
+
+    # durable proof: reliable RDD checkpoint part files exist on disk
+    part_files = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(ckpt) for f in files
+        if f.startswith("part-")
+    ]
+    assert part_files, "no reliable checkpoint files were written"
+
+    # the pair generators accept the same knob
+    docs_t = spark.createDataFrame(
+        [(i, ("alpha beta gamma delta epsilon zeta " * 4)
+          + ("x" + str(i) if i % 2 else "")) for i in range(8)],
+        "doc_id long, text string")
+    p1 = minhash_lsh_pairs(docs_t).collect()
+    p2 = minhash_lsh_pairs(docs_t, checkpoint_dir=str(ckpt)).collect()
+    assert sorted(map(tuple, p1)) == sorted(map(tuple, p2))

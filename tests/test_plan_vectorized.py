@@ -235,3 +235,61 @@ def test_dedup_posting_tables_checkpointed_by_default(spark):
         df.count()  # checkpoint happens on first compute
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, fn.__name__
+
+
+def test_round5_webfilter_plans(spark):
+    """r4 web operators, pinned (r5 VERDICT #6): c4_clean and pii_stats
+    are map-only codegen'd projections (zero Exchange, zero Python);
+    url_dedup has exactly ONE Exchange (the canonical-key window) and no
+    Python; doc_quality is one MapInPandas over the scan with zero
+    Exchange."""
+    from intelligent_document_processing_on_aws_spark.operators.quality import (
+        doc_quality,
+    )
+    from intelligent_document_processing_on_aws_spark.operators.webfilters import (
+        c4_clean,
+        pii_stats,
+        url_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "A proper sentence with five words.", "https://x.example/p")],
+        "doc_id long, text string, url string")
+
+    for op in (c4_clean, pii_stats):
+        plan = _plan(op(docs))
+        assert "BatchEvalPython" not in plan, op.__name__
+        assert "MapInPandas" not in plan, op.__name__
+        assert "Exchange" not in plan, op.__name__
+
+    plan = _plan(url_dedup(docs))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert "Window" in plan
+
+    plan = _plan(doc_quality(docs))
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_round5_semantic_lookup_hashed_join_key(spark):
+    """The SEMANTIC embeddings lookup joins on xxhash64(text) — an 8-byte
+    bigint shuffle key — with the raw-string equality kept only as a
+    residual predicate (r5 VERDICT #5)."""
+    expected = spark.createDataFrame(
+        [(1, "s", "p", "c", "hello world")],
+        "doc_id long, section_id string, attr_path string, "
+        "classification string, value string")
+    actual = spark.createDataFrame(
+        [(1, "s", "p", "c", "hello word")],
+        "doc_id long, section_id string, attr_path string, "
+        "classification string, value string")
+    cfg = spark.createDataFrame(eval_config_rows())
+    emb = spark.createDataFrame(
+        [("hello world", [0.1] * 4), ("hello word", [0.1] * 4)],
+        "text string, embedding array<double>")
+    df = evaluate_attributes(expected, actual, cfg, embeddings=emb)
+    plan = _plan(df)
+    assert "xxhash64" in plan
+    assert "BatchEvalPython" not in plan
