@@ -125,3 +125,40 @@ def gradient_png(i: int) -> bytes:
     if i % 16 == 5:
         return data[:30]
     return data
+
+
+def jpeg_gradient_image(i: int):
+    """Deterministic pixels for the JPEG fixture family (r5): smaller dims
+    than the PNG family (huffman decode is Python-loop work), gray/RGB
+    rotation, closed-form gradient content."""
+    import numpy as np
+
+    w = 64 + (i * 37) % 200
+    h = 48 + (i * 29) % 200
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    base = (x * 5 + y * 7 + i * 13) % 256
+    if i % 2 == 0:
+        return base.astype(np.uint8)
+    return np.stack(
+        [((base + c * 23 + i * 11) % 256).astype(np.uint8)
+         for c in range(3)], axis=2)
+
+
+def gradient_jpeg(i: int) -> bytes:
+    """encode_jpeg of jpeg_gradient_image(i), rotating quality /
+    4:2:0 subsampling / restart-marker settings so the decoder's paths
+    are all exercised; every 16th item (i % 16 == 9) is truncated
+    mid-stream (error-column row)."""
+    from ..kernels.jpeg_codec import encode_jpeg
+
+    img = jpeg_gradient_image(i)
+    data = encode_jpeg(
+        img,
+        quality=70 + (i * 11) % 31,
+        subsample=(i % 3 == 1 and img.ndim == 3),
+        restart_interval=(4 if i % 5 == 0 else 0),
+    )
+    if i % 16 == 9:
+        return data[:24]
+    return data

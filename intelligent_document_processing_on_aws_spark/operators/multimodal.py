@@ -80,17 +80,35 @@ def _stub_features(payload: bytes, dim: int = 8) -> list[float]:
             for i in range(dim)]
 
 
+def _decode_image(payload: bytes):
+    """Codec dispatch: PNG and baseline JPEG decode with the from-scratch
+    stdlib kernels; anything else raises NotImplementedError (the honest
+    boundary — GIF/WEBP/TIFF pixel decode and video/audio need external
+    codec libraries absent from this container)."""
+    from ..kernels.jpeg_codec import decode_jpeg
+    from ..kernels.png_codec import PNG_SIG, decode_png
+
+    if payload.startswith(PNG_SIG):
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    raise NotImplementedError(
+        "decode supports PNG and baseline JPEG (from-scratch stdlib "
+        "decoders); other media decode requires PIL/cv2/ffmpeg (not in "
+        "this container) — run with decode=False for byte-level features"
+    )
+
+
 def _png_features(payload: bytes, dim: int) -> list[float]:
-    """Real pixel features from a decoded PNG: log-dims, luma mean/std and
-    a 4-bin luma histogram — deterministic, codec-backed."""
+    """Real pixel features from a decoded image: log-dims, luma mean/std
+    and a 4-bin luma histogram — deterministic, codec-backed."""
     import math
 
     import numpy as np
 
     from ..kernels.image_ops import to_grayscale
-    from ..kernels.png_codec import decode_png
 
-    img = decode_png(payload)
+    img = _decode_image(payload)
     gray = to_grayscale(img[:, :, :3] if img.ndim == 3 else img)
     h, w = gray.shape
     hist = np.bincount(gray.reshape(-1) >> 6, minlength=4) / gray.size
@@ -108,11 +126,11 @@ def extract_features(items: DataFrame, decode: bool = False,
     """Multimodal feature extraction stage (Arrow-batched).
 
     decode=False: byte-level features (real) + deterministic stub vector.
-    decode=True: PNG payloads decode with the from-scratch stdlib codec
-    (kernels/png_codec.py) and yield real pixel features; any other
-    payload raises NotImplementedError (JPEG/audio/video need PIL/cv2/
-    ffmpeg, absent from this container — clearly-marked boundary)."""
-    from ..kernels.png_codec import PNG_SIG
+    decode=True: PNG and baseline-JPEG payloads decode with the
+    from-scratch stdlib codecs (kernels/png_codec.py, jpeg_codec.py) and
+    yield real pixel features; any other payload raises
+    NotImplementedError (GIF/WEBP/video/audio need PIL/cv2/ffmpeg, absent
+    from this container — clearly-marked boundary)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -122,15 +140,7 @@ def extract_features(items: DataFrame, decode: bool = False,
             feats = []
             if decode:
                 for p in pdf["payload"]:
-                    b = bytes(p)
-                    if not b.startswith(PNG_SIG):
-                        raise NotImplementedError(
-                            "decode=True supports PNG (stdlib decoder); "
-                            "JPEG/audio/video decode requires PIL/cv2/ffmpeg "
-                            "(not in this container) — run with decode=False "
-                            "for byte-level features"
-                        )
-                    feats.append(_png_features(b, feature_dim))
+                    feats.append(_png_features(bytes(p), feature_dim))
             else:
                 feats = [_stub_features(bytes(p), feature_dim)
                          for p in pdf["payload"]]
@@ -165,12 +175,14 @@ def decode_resize_images(items: DataFrame, target_w: int = 951,
     """(item_id, in/out dims, resized_sha1, error) — the reference's image
     preprocessing (lib/idp_common_pkg/idp_common/image/__init__.py:54-66:
     aspect-preserving fit-within, downscale-only, defaults 951x1268) run
-    END-TO-END on real pixels: stdlib PNG decode -> bilinear resize ->
-    sha1 of the resized RGB bytes. Non-PNG / malformed payloads land in
-    the error column (loud-degrade convention), never kill the job.
-    Map-only Arrow lineage — scales exactly like the scan."""
+    END-TO-END on real pixels: stdlib PNG / baseline-JPEG decode ->
+    bilinear resize -> sha1 of the resized RGB bytes. Unsupported /
+    malformed payloads land in the error column (loud-degrade
+    convention), never kill the job. Map-only Arrow lineage — scales
+    exactly like the scan."""
     from ..kernels.image_ops import resize_array
-    from ..kernels.png_codec import PngError, decode_png
+    from ..kernels.jpeg_codec import JpegError
+    from ..kernels.png_codec import PngError
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -182,7 +194,7 @@ def decode_resize_images(items: DataFrame, target_w: int = 951,
             for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
                 rows["item_id"].append(int(item_id))
                 try:
-                    img = decode_png(bytes(payload) if payload else b"")
+                    img = _decode_image(bytes(payload) if payload else b"")
                     if img.ndim == 2:
                         img = np.dstack([img, img, img])
                     img = img[:, :, :3]           # drop alpha for resize
@@ -196,7 +208,7 @@ def decode_resize_images(items: DataFrame, target_w: int = 951,
                     rows["resized_sha1"].append(
                         hashlib.sha1(out.tobytes()).hexdigest())
                     rows["error"].append(None)
-                except (PngError, NotImplementedError) as e:
+                except (PngError, JpegError, NotImplementedError) as e:
                     rows["in_width"].append(None)
                     rows["in_height"].append(None)
                     rows["out_width"].append(None)

@@ -154,6 +154,7 @@ def main() -> int:
         "after_repetition": n_repetition,
         "after_c4": n_c4,
         "after_exact": n_exact,
+        "lsh_dropped_buckets": n_dropped_buckets,
         "kept": n_kept,
         "sec": round(time.time() - t0, 2),
         "docs_per_sec": round(n_docs / max(time.time() - t0, 1e-9), 1),
