@@ -27,6 +27,7 @@ from intelligent_document_processing_on_aws_spark.entry_queries import (  # noqa
     q_doc_stats,
     q_eval_metrics,
     q_extract_xls,
+    q_image_resize,
     q_pricing_summary,
     q_section_attributes,
 )
@@ -118,6 +119,7 @@ def main() -> int:
           .agg(F.avg("top2gram_char_fraction"),
                F.avg("dup5gram_char_fraction")).collect())
     timed("extract_xls", lambda: q_extract_xls(spark, sf_dir).count())
+    timed("image_resize", lambda: q_image_resize(spark, sf_dir).count())
     timed("dedup_ngram_jaccard",
           lambda: ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), 0.8).count())
     timed("dedup_minhash_lsh",

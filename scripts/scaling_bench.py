@@ -525,6 +525,38 @@ cores busy, and there is no driver-side collect in the path. Residual gap
 to 1.0 is shared memory bandwidth across a single box — on a real
 multi-node cluster each executor keeps its own memory bus.
 
+### 1M-document curation-funnel stress (r5, VERDICT #4)
+
+`scripts/gen_stress_corpus.py --n 1000000` (closed-form deterministic
+corpus: per-(doc,position) hash-mixed English prose; planted populations:
+10% exact dups, 10% near-dups at J~0.9, 1/37 stopword-rich repetition
+spam, 1/41 symbol soup, 1/43 German, plus a 640-doc boilerplate template
+cluster designed to trip the LSH bucket cap) generated in **15.6 s** at
+local[32], then one `jobs/curate.py --c4-clean --redact-pii --cores 32`
+run end-to-end:
+
+```
+{{"docs": 1000000, "after_quality": 950025, "after_repetition": 923015,
+ "after_c4": 923015, "after_exact": 830743, "lsh_dropped_buckets": 8,
+ "kept": 738551, "sec": 403.31, "docs_per_sec": 2479.5}}
+```
+
+Every stage removed exactly its planted population at 10x the bench
+corpus: quality gate -5.0% (German 2.3% + symbol 2.4% + tail),
+repetition gate -27,010 vs 27,027 planted spam docs, exact dedup
+-92,272 ~ the planted 10%, near-dup stage -92,192 ~ the planted 10%, and
+the `lsh_dropped_buckets` audit fired on exactly the template cluster's
+8 band keys (640 docs > DEFAULT_MAX_BUCKET=500 each) — the cap excluded
+the degenerate bucket loudly instead of letting one hot key go quadratic.
+2,479 docs/s through all six stages (stats, two gates, C4 rewrite, PII
+scrub, exact + LSH dedup with CC grouping) including four full
+materializations. No scale-sensitive surprises; funnel counts are
+integers so no float-drift exposure. Fixture-entropy lesson recorded in
+the generator docstring: an affine-only word formula has only |vocab|^2
+line classes and produced a 69% false exact-dup rate at 1M before
+per-position hash mixing — the stress run caught a fixture bug, not an
+engine bug.
+
 ### Salt-shuffle trade-off (measured at local[32], 600k rows)
 
 The `pmod(xxhash64(url), P)` salt repartition exists for giant-host skew
