@@ -221,8 +221,18 @@ def test_extract_features_decode_true_png(spark):
         assert got[i].features[3] == pytest.approx(
             float(gray.std()) / 255.0, abs=1e-6)
 
+    # A format with no from-scratch decoder (GIF) hits the honest
+    # NotImplementedError boundary.
     bad = spark.createDataFrame(
-        [(99, "image", bytearray(b"\xff\xd8\xff\xe0 not png"))],
+        [(99, "image", bytearray(b"GIF89a not decodable"))],
         "item_id long, modality string, payload binary")
     with pytest.raises(Exception, match="NotImplementedError|decode=True"):
         extract_features(bad, decode=True).collect()
+
+    # A JPEG-magic payload now reaches the real baseline decoder, which
+    # fails loudly on garbage rather than falling to the stub boundary.
+    trunc = spark.createDataFrame(
+        [(98, "image", bytearray(b"\xff\xd8\xff\xe0 not a jpeg"))],
+        "item_id long, modality string, payload binary")
+    with pytest.raises(Exception, match="JpegError|truncated"):
+        extract_features(trunc, decode=True).collect()
