@@ -19,9 +19,10 @@ encode_png (the independent writer twin, fixture-generator pattern of
 fixtures/xls_gen.py): 8-bit gray / RGB / RGBA, non-interlaced, with a
 caller-chosen scanline filter so tests exercise every decode filter path.
 
-JPEG decode stays an honest NotImplementedError boundary
-(operators/multimodal.py) — huffman entropy decode is a separate project;
-header metadata for it lives in kernels/image_meta.py.
+Sibling from-scratch codecs: kernels/jpeg_codec.py (baseline huffman),
+gif_codec.py (LZW), bmp_codec.py, tiff_codec.py. WEBP decode stays the
+honest NotImplementedError boundary (operators/multimodal.py); header
+metadata for every format lives in kernels/image_meta.py.
 """
 
 from __future__ import annotations

@@ -81,21 +81,32 @@ def _stub_features(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def _decode_image(payload: bytes):
-    """Codec dispatch: PNG and baseline JPEG decode with the from-scratch
-    stdlib kernels; anything else raises NotImplementedError (the honest
-    boundary — GIF/WEBP/TIFF pixel decode and video/audio need external
-    codec libraries absent from this container)."""
+    """Codec dispatch: PNG, baseline JPEG, GIF, BMP and baseline TIFF
+    decode with the from-scratch stdlib kernels; anything else raises
+    NotImplementedError (the honest boundary — WEBP/VP8 entropy decode
+    and video/audio need external codec libraries absent from this
+    container)."""
+    from ..kernels.bmp_codec import decode_bmp
+    from ..kernels.gif_codec import decode_gif
     from ..kernels.jpeg_codec import decode_jpeg
     from ..kernels.png_codec import PNG_SIG, decode_png
+    from ..kernels.tiff_codec import decode_tiff
 
     if payload.startswith(PNG_SIG):
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(payload)
     raise NotImplementedError(
-        "decode supports PNG and baseline JPEG (from-scratch stdlib "
-        "decoders); other media decode requires PIL/cv2/ffmpeg (not in "
-        "this container) — run with decode=False for byte-level features"
+        "decode supports PNG, baseline JPEG, GIF, BMP and baseline TIFF "
+        "(from-scratch stdlib decoders); WEBP and video/audio decode "
+        "require PIL/cv2/ffmpeg (not in this container) — run with "
+        "decode=False for byte-level features"
     )
 
 
@@ -126,11 +137,12 @@ def extract_features(items: DataFrame, decode: bool = False,
     """Multimodal feature extraction stage (Arrow-batched).
 
     decode=False: byte-level features (real) + deterministic stub vector.
-    decode=True: PNG and baseline-JPEG payloads decode with the
-    from-scratch stdlib codecs (kernels/png_codec.py, jpeg_codec.py) and
-    yield real pixel features; any other payload raises
-    NotImplementedError (GIF/WEBP/video/audio need PIL/cv2/ffmpeg, absent
-    from this container — clearly-marked boundary)."""
+    decode=True: PNG / baseline-JPEG / GIF / BMP / baseline-TIFF payloads
+    decode with the from-scratch stdlib codecs (kernels/png_codec.py,
+    jpeg_codec.py, gif_codec.py, bmp_codec.py, tiff_codec.py) and yield
+    real pixel features; any other payload raises NotImplementedError
+    (WEBP/video/audio need PIL/cv2/ffmpeg, absent from this container —
+    clearly-marked boundary)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -175,14 +187,18 @@ def decode_resize_images(items: DataFrame, target_w: int = 951,
     """(item_id, in/out dims, resized_sha1, error) — the reference's image
     preprocessing (lib/idp_common_pkg/idp_common/image/__init__.py:54-66:
     aspect-preserving fit-within, downscale-only, defaults 951x1268) run
-    END-TO-END on real pixels: stdlib PNG / baseline-JPEG decode ->
-    bilinear resize -> sha1 of the resized RGB bytes. Unsupported /
+    END-TO-END on real pixels: stdlib PNG / baseline-JPEG / GIF / BMP /
+    baseline-TIFF decode -> bilinear resize -> sha1 of the resized RGB
+    bytes. Unsupported /
     malformed payloads land in the error column (loud-degrade
     convention), never kill the job. Map-only Arrow lineage — scales
     exactly like the scan."""
+    from ..kernels.bmp_codec import BmpError
+    from ..kernels.gif_codec import GifError
     from ..kernels.image_ops import resize_array
     from ..kernels.jpeg_codec import JpegError
     from ..kernels.png_codec import PngError
+    from ..kernels.tiff_codec import TiffError
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -208,7 +224,8 @@ def decode_resize_images(items: DataFrame, target_w: int = 951,
                     rows["resized_sha1"].append(
                         hashlib.sha1(out.tobytes()).hexdigest())
                     rows["error"].append(None)
-                except (PngError, JpegError, NotImplementedError) as e:
+                except (PngError, JpegError, GifError, BmpError, TiffError,
+                        NotImplementedError) as e:
                     rows["in_width"].append(None)
                     rows["in_height"].append(None)
                     rows["out_width"].append(None)

@@ -221,10 +221,10 @@ def test_extract_features_decode_true_png(spark):
         assert got[i].features[3] == pytest.approx(
             float(gray.std()) / 255.0, abs=1e-6)
 
-    # A format with no from-scratch decoder (GIF) hits the honest
+    # A format with no from-scratch decoder (WEBP) hits the honest
     # NotImplementedError boundary.
     bad = spark.createDataFrame(
-        [(99, "image", bytearray(b"GIF89a not decodable"))],
+        [(99, "image", bytearray(b"RIFF\x10\x00\x00\x00WEBPVP8 "))],
         "item_id long, modality string, payload binary")
     with pytest.raises(Exception, match="NotImplementedError|decode=True"):
         extract_features(bad, decode=True).collect()
