@@ -247,6 +247,36 @@ def build_summaries(out_dir: str = FIXTURES_DIR, n: int = N_SUMMARY) -> None:
         print(f"wrote {name}: {len(rows)} rows")
 
 
+def build_warc(out_dir: str = FIXTURES_DIR) -> None:
+    """Committed `.warc.gz` files (per-record gzip members, byte-stable:
+    pinned mtime, fixed zlib level) + the closed-form golden."""
+    from .warc_gen import N_FILES, gen_warc_file, golden_rows
+
+    warc_dir = os.path.join(out_dir, "warc")
+    os.makedirs(warc_dir, exist_ok=True)
+    rows = []
+    for k in range(N_FILES):
+        name = f"cc-{k:05d}.warc.gz"
+        with open(os.path.join(warc_dir, name), "wb") as f:
+            f.write(gen_warc_file(k))
+        for r in golden_rows(k):
+            rows.append({"warc_file": name, **r})
+    golden = pa.Table.from_pydict(
+        {c: [r[c] for r in rows] for c in rows[0].keys()},
+        schema=pa.schema(
+            [("warc_file", pa.string()), ("record_id", pa.string()),
+             ("url", pa.string()), ("warc_date", pa.string()),
+             ("status", pa.int32()), ("content_type", pa.string()),
+             ("charset", pa.string()), ("text_sha1", pa.string()),
+             ("n_chars", pa.int32()), ("error", pa.string())]
+        ),
+    )
+    pq.write_table(golden, os.path.join(out_dir, "warc_golden.parquet"),
+                   compression="zstd")
+    print(f"wrote warc/cc-*.warc.gz ({N_FILES} files) + warc_golden: "
+          f"{len(rows)} rows")
+
+
 def build(out_dir: str = FIXTURES_DIR) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for tier, n in TIERS.items():
@@ -263,6 +293,7 @@ def build(out_dir: str = FIXTURES_DIR) -> None:
     build_summaries(out_dir)
     build_ocrblocks(out_dir)
     build_semantic(out_dir)
+    build_warc(out_dir)
 
 
 if __name__ == "__main__":

@@ -293,3 +293,19 @@ def test_round5_semantic_lookup_hashed_join_key(spark):
     plan = _plan(df)
     assert "xxhash64" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_warc_ingestion_plan_map_only(spark):
+    """r5 WARC source: one Arrow MapInPandas directly over the binaryFile
+    scan — zero Exchange, zero row-Python. At 100 TB the ingestion stage
+    must scale exactly like the file listing (the file is the parallel
+    unit for non-splittable gzip WARCs)."""
+    from intelligent_document_processing_on_aws_spark.sources.warc import (
+        read_warc,
+    )
+
+    df = read_warc(spark, "fixtures_data/warc")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
