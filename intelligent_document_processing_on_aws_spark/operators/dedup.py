@@ -476,3 +476,88 @@ def repeated_passages(
         .agg(F.count("*").cast("long").alias("df"))
         .where(F.col("df") >= min_df)
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document line-level dedup: rewrite every document, keeping
+    only the globally-first occurrence of any line that appears in
+    >= min_docs distinct documents (C4's span dedup, Raffel et al. 2020
+    §2.2 / RefinedWeb line-wise filtering, Penedo et al. 2023 —
+    public papers; no reference-repo analog).
+
+    Frozen spec:
+    - lines = '\\n'-split, trimmed of ' \\t\\r', blanks dropped (the
+      webfilters._lines convention);
+    - a line is corpus-duplicated iff it occurs in >= min_docs DISTINCT
+      documents;
+    - of all its occurrences corpus-wide, only the one with the smallest
+      (doc_id, pos) survives; every other occurrence is removed;
+    - non-duplicated lines always survive (within-doc repeats included);
+    - every input doc appears in the output, text_deduped='' when
+      nothing survives.
+
+    Output: (doc_id, text_deduped, n_lines, n_removed).
+
+    100-TB shape: posexplode is map-side; occurrence ranking is one
+    window Exchange on the line key; document frequency is a two-phase
+    distinct aggregation on the same key (partial combine both phases);
+    the rebuild is one Exchange on doc_id. A nav-bar line repeated in
+    10^6 docs concentrates its (tiny) occurrence rows in one partition —
+    the same bounded skew class as exact_dedup's hash window, and AQE
+    skew-join splitting covers the join back (pinned in
+    tests/test_skew_aqe.py for this join shape).
+    """
+    lines_arr = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"),
+                    lambda x: F.trim(x, F.lit(" \t\r"))),
+        lambda x: x != "",
+    )
+    base = docs.select(
+        "doc_id", F.size(lines_arr).cast("long").alias("n_lines"),
+        lines_arr.alias("__lines"),
+    )
+    lines = base.select(
+        "doc_id", F.posexplode("__lines").alias("pos", "line")
+    )
+    occ = lines.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("line").orderBy("doc_id", "pos")
+        ),
+    )
+    dup = (
+        lines.select("line", "doc_id").distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("line")
+    )
+    kept = (
+        occ.join(dup.withColumn("__dup", F.lit(True)), "line", "left")
+        .where(F.col("__dup").isNull() | (F.col("rn") == 1))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("text_deduped"),
+            F.count("*").cast("long").alias("n_kept"),
+        )
+    )
+    return (
+        base.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_removed"),
+        )
+    )

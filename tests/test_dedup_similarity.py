@@ -500,3 +500,62 @@ def test_duplicate_groups_durable_checkpoint(spark, tmp_path):
     p1 = minhash_lsh_pairs(docs_t).collect()
     p2 = minhash_lsh_pairs(docs_t, checkpoint_dir=str(ckpt)).collect()
     assert sorted(map(tuple, p1)) == sorted(map(tuple, p2))
+
+
+def test_line_dedup_hand_computed(spark):
+    from intelligent_document_processing_on_aws_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1 holds the first occurrence of the shared nav line
+            (1, "NAV BAR\nunique one\nNAV BAR"),
+            (2, "  NAV BAR \nunique two"),   # trimmed match -> removed
+            (3, "solo line\nsolo line"),      # within-doc repeat, df=1 -> kept
+            (4, "\n\n  \n"),                  # only blanks -> 0 lines
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    # keeper is the globally-smallest (doc_id, pos): doc1 pos0 survives,
+    # doc1's own second copy and doc2's copy are removed
+    assert rows[1]["text_deduped"] == "NAV BAR\nunique one"
+    assert rows[1]["n_lines"] == 3 and rows[1]["n_removed"] == 1
+    assert rows[2]["text_deduped"] == "unique two"
+    assert rows[2]["n_removed"] == 1
+    # df counts DISTINCT docs: a within-doc repeat alone is not dedup'd
+    assert rows[3]["text_deduped"] == "solo line\nsolo line"
+    assert rows[3]["n_removed"] == 0
+    # all-blank doc still appears, with empty text
+    assert rows[4]["text_deduped"] == "" and rows[4]["n_lines"] == 0
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    from intelligent_document_processing_on_aws_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "shared\na"), (2, "shared\nb"), (3, "shared\nc")],
+        ["doc_id", "text"],
+    )
+    # min_docs=4: nothing reaches the bar, all docs unchanged
+    rows = line_dedup(docs, min_docs=4).collect()
+    assert all(r["n_removed"] == 0 for r in rows)
+    # min_docs=3: only doc 1 keeps 'shared'
+    rows = {r["doc_id"]: r for r in line_dedup(docs, min_docs=3).collect()}
+    assert rows[1]["text_deduped"] == "shared\na"
+    assert rows[2]["text_deduped"] == "b"
+    assert rows[3]["text_deduped"] == "c"
+
+
+def test_line_dedup_deterministic_across_partitioning(spark):
+    from intelligent_document_processing_on_aws_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"common header\nbody {i % 3}\ncommon footer") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    a = line_dedup(docs).orderBy("doc_id").collect()
+    b = line_dedup(docs.repartition(11)).orderBy("doc_id").collect()
+    assert a == b
+    # exactly one doc (doc 0) keeps each shared line
+    keep_header = [r for r in a if "common header" in r["text_deduped"]]
+    assert [r["doc_id"] for r in keep_header] == [0]
