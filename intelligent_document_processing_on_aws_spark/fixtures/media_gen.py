@@ -225,3 +225,43 @@ def gradient_jpeg(i: int) -> bytes:
     if i % 16 == 9:
         return data[:24]
     return data
+
+
+def webp_gradient_image(i: int):
+    """Closed-form pixels for the WebP fixture family: gray / RGB / RGBA
+    rotation with modest dims (VP8L entropy coding is Python-loop work
+    like the GIF LZW path)."""
+    import numpy as np
+
+    w = 64 + (i * 47) % 160
+    h = 48 + (i * 37) % 160
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    base = (x * 5 + y * 7 + i * 13) % 256
+    if i % 3 == 0:
+        return base.astype(np.uint8)
+    n_ch = 3 if i % 3 == 1 else 4
+    return np.stack(
+        [((base + c * 29 + i * 3) % 256).astype(np.uint8)
+         for c in range(n_ch)], axis=2)
+
+
+def gradient_webp(i: int) -> bytes:
+    """encode_webp of webp_gradient_image(i), rotating the transform
+    (none / subtract-green / left-predictor / top-predictor); every 16th
+    item truncated (error-column row)."""
+    from ..kernels.webp_codec import encode_webp
+
+    img = webp_gradient_image(i)
+    mode = (i // 4) % 4
+    if mode == 1:
+        data = encode_webp(img, subtract_green=True)
+    elif mode == 2:
+        data = encode_webp(img, predictor=1)
+    elif mode == 3:
+        data = encode_webp(img, predictor=2)
+    else:
+        data = encode_webp(img)
+    if i % 16 == 5:
+        return data[:36]
+    return data

@@ -91,6 +91,7 @@ def _decode_image(payload: bytes):
     from ..kernels.jpeg_codec import decode_jpeg
     from ..kernels.png_codec import PNG_SIG, decode_png
     from ..kernels.tiff_codec import decode_tiff
+    from ..kernels.webp_codec import decode_webp
 
     if payload.startswith(PNG_SIG):
         return decode_png(payload)
@@ -102,11 +103,13 @@ def _decode_image(payload: bytes):
         return decode_bmp(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return decode_webp(payload)  # VP8L; lossy VP8 raises WebpError
     raise NotImplementedError(
-        "decode supports PNG, baseline JPEG, GIF, BMP and baseline TIFF "
-        "(from-scratch stdlib decoders); WEBP and video/audio decode "
-        "require PIL/cv2/ffmpeg (not in this container) — run with "
-        "decode=False for byte-level features"
+        "decode supports PNG, baseline JPEG, GIF, BMP, baseline TIFF "
+        "and lossless WebP (from-scratch stdlib decoders); lossy-VP8 "
+        "WebP and video/audio decode require PIL/cv2/ffmpeg (not in "
+        "this container) — run with decode=False for byte-level features"
     )
 
 
@@ -137,11 +140,12 @@ def extract_features(items: DataFrame, decode: bool = False,
     """Multimodal feature extraction stage (Arrow-batched).
 
     decode=False: byte-level features (real) + deterministic stub vector.
-    decode=True: PNG / baseline-JPEG / GIF / BMP / baseline-TIFF payloads
-    decode with the from-scratch stdlib codecs (kernels/png_codec.py,
-    jpeg_codec.py, gif_codec.py, bmp_codec.py, tiff_codec.py) and yield
-    real pixel features; any other payload raises NotImplementedError
-    (WEBP/video/audio need PIL/cv2/ffmpeg, absent from this container —
+    decode=True: PNG / baseline-JPEG / GIF / BMP / baseline-TIFF /
+    lossless-WebP payloads decode with the from-scratch stdlib codecs
+    (kernels/png_codec.py, jpeg_codec.py, gif_codec.py, bmp_codec.py,
+    tiff_codec.py, webp_codec.py) and yield real pixel features; any
+    other payload raises NotImplementedError (lossy-VP8 WebP and
+    video/audio need PIL/cv2/ffmpeg, absent from this container —
     clearly-marked boundary)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -199,6 +203,7 @@ def decode_resize_images(items: DataFrame, target_w: int = 951,
     from ..kernels.jpeg_codec import JpegError
     from ..kernels.png_codec import PngError
     from ..kernels.tiff_codec import TiffError
+    from ..kernels.webp_codec import WebpError
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -225,7 +230,7 @@ def decode_resize_images(items: DataFrame, target_w: int = 951,
                         hashlib.sha1(out.tobytes()).hexdigest())
                     rows["error"].append(None)
                 except (PngError, JpegError, GifError, BmpError, TiffError,
-                        NotImplementedError) as e:
+                        WebpError, NotImplementedError) as e:
                     rows["in_width"].append(None)
                     rows["in_height"].append(None)
                     rows["out_width"].append(None)

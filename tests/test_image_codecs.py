@@ -293,12 +293,22 @@ def test_decode_dispatch_routes_all_formats():
         _decode_image,
     )
 
+    from intelligent_document_processing_on_aws_spark.kernels.webp_codec import (
+        WebpError,
+        encode_webp,
+    )
+
     g = rng.randint(0, 256, size=(8, 6), dtype=np.uint8)
     assert (_decode_image(encode_bmp(g)) == np.dstack([g, g, g])).all()
     assert (_decode_image(encode_tiff(g)) == g).all()
     assert (_decode_image(encode_gif(g)) == np.dstack([g, g, g])).all()
+    assert (_decode_image(encode_webp(g)) == np.dstack([g, g, g])).all()
+    # lossy VP8 is the remaining WebP boundary (loud, typed)
+    with pytest.raises(WebpError, match="lossy"):
+        _decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 " + b"\x00" * 8)
+    # wholly unknown formats keep the NotImplementedError boundary
     with pytest.raises(NotImplementedError):
-        _decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 ")
+        _decode_image(b"\x00\x01\x02not-an-image")
 
 
 def test_decode_resize_images_mixed_formats(spark):
