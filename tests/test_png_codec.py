@@ -221,13 +221,21 @@ def test_extract_features_decode_true_png(spark):
         assert got[i].features[3] == pytest.approx(
             float(gray.std()) / 255.0, abs=1e-6)
 
-    # A format with no from-scratch decoder (WEBP) hits the honest
-    # NotImplementedError boundary.
+    # Lossy-VP8 WebP now routes to the from-scratch VP8L decoder, which
+    # raises its typed boundary error (lossless-only support).
     bad = spark.createDataFrame(
         [(99, "image", bytearray(b"RIFF\x10\x00\x00\x00WEBPVP8 "))],
         "item_id long, modality string, payload binary")
-    with pytest.raises(Exception, match="NotImplementedError|decode=True"):
+    with pytest.raises(Exception, match="WebpError|VP8L"):
         extract_features(bad, decode=True).collect()
+
+    # A format with no from-scratch decoder at all keeps the honest
+    # NotImplementedError boundary.
+    unk = spark.createDataFrame(
+        [(97, "image", bytearray(b"\x00\x01\x02not-an-image"))],
+        "item_id long, modality string, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|decode=True"):
+        extract_features(unk, decode=True).collect()
 
     # A JPEG-magic payload now reaches the real baseline decoder, which
     # fails loudly on garbage rather than falling to the stub boundary.
