@@ -277,6 +277,29 @@ def build_warc(out_dir: str = FIXTURES_DIR) -> None:
           f"{len(rows)} rows")
 
 
+N_LANGID = 1200
+
+
+def build_langid(out_dir: str = FIXTURES_DIR, n: int = N_LANGID) -> None:
+    from .langid_gen import langid_rows
+
+    rows = langid_rows(n)
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": [r["doc_id"] for r in rows],
+            "text": [r["text"] for r in rows],
+            "lang": [r["lang"] for r in rows],
+        },
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string()),
+             ("lang", pa.string())]
+        ),
+    )
+    pq.write_table(table, os.path.join(out_dir, "langid_pages.parquet"),
+                   compression="zstd")
+    print(f"wrote langid_pages: {n} rows")
+
+
 def build(out_dir: str = FIXTURES_DIR) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for tier, n in TIERS.items():
@@ -294,6 +317,7 @@ def build(out_dir: str = FIXTURES_DIR) -> None:
     build_ocrblocks(out_dir)
     build_semantic(out_dir)
     build_warc(out_dir)
+    build_langid(out_dir)
 
 
 if __name__ == "__main__":
