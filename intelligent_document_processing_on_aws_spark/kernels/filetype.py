@@ -31,6 +31,8 @@ XLSX = "xlsx"
 XLS = "xls"
 DOCX = "docx"
 IMAGE = "image"
+AUDIO = "audio"
+VIDEO = "video"
 UNKNOWN = "unknown"
 
 _IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".gif", ".bmp", ".tiff", ".tif", ".webp")
@@ -111,6 +113,32 @@ def _is_unambiguous_image_magic(content: bytes) -> bool:
     )
 
 
+def _audio_video_magic(content: bytes) -> str | None:
+    """RIFF/WAVE and RIFF/'AVI ' 12-byte tags, ID3v2 (version byte is a
+    control char no prose starts with) and a structurally valid MPEG-1
+    Layer III frame header (0xFF lead byte cannot open UTF-8 text).
+    Checked BEFORE the decode attempt, like the unambiguous image
+    magics; routed to the audio/video multimodal path
+    (operators/multimodal.py probe_av_meta / audio_signal_stats)."""
+    if content[:4] == b"RIFF":
+        if content[8:12] == b"WAVE":
+            return AUDIO
+        if content[8:12] == b"AVI ":
+            return VIDEO
+        return None
+    if content[:3] == b"ID3" and len(content) > 10 and content[3] < 0x10:
+        return AUDIO
+    if len(content) >= 4 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0:
+        version2 = (content[1] >> 3) & 0b11
+        layer2 = (content[1] >> 1) & 0b11
+        bitrate_idx = (content[2] >> 4) & 0xF
+        sr_idx = (content[2] >> 2) & 0b11
+        if (version2 == 0b11 and layer2 == 0b01
+                and bitrate_idx not in (0, 15) and sr_idx != 3):
+            return AUDIO
+    return None
+
+
 def _is_ascii_image_magic(content: bytes) -> bool:
     """'GIF87a'/'GIF89a'/'BM' are plain ASCII a text file can legally start
     with ('BMI,...' CSV) — consulted only for payloads that did NOT decode
@@ -157,6 +185,9 @@ def detect_content_type_and_text(
         return XLS, None
     if _is_unambiguous_image_magic(content):
         return IMAGE, None
+    av = _audio_video_magic(content)
+    if av is not None:
+        return av, None
     try:
         text = content.decode("utf-8")
     except UnicodeDecodeError:

@@ -309,3 +309,76 @@ def test_warc_ingestion_plan_map_only(spark):
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_round5_lang_classifier_plan_pure_catalyst(spark):
+    """fastText-style lang-ID inference is ZERO-Python: hashing, the
+    array-accumulator dot product and the argmax are all Catalyst
+    expressions — no MapInPandas, no Exchange; inference scales exactly
+    like the scan."""
+    from intelligent_document_processing_on_aws_spark.operators.ft_classifier import (
+        classify_lang,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "the quick brown fox jumps")],
+        "doc_id long, lang string, text string")
+    df = classify_lang(docs, [[1] * 64, [2] * 64], [0, 0],
+                       ["en", "de"], n_buckets=64)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Exchange" not in plan
+
+
+def test_round5_lm_perplexity_plan_single_arrow_pass(spark):
+    """CCNet perplexity scoring is ONE broadcast-model Arrow pass over
+    the corpus: a single MapInPandas, zero Exchange, zero row-Python."""
+    from intelligent_document_processing_on_aws_spark.operators.lm_filter import (
+        BigramLM,
+        score_perplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d")], "doc_id long, text string")
+    lm = BigramLM(unigram={"a": 2, "b": 2}, bigram={("a", "b"): 2}, v=3)
+    plan = _plan(score_perplexity(docs, lm))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+
+
+def test_round5_line_dedup_plan_pure_relational(spark):
+    """Cross-document line dedup stays entirely JVM-side: posexplode +
+    window + distinct-agg + joins, no Python stage of any kind, and a
+    bounded number of shuffles (line window, distinct DF agg, doc
+    rebuild + joins)."""
+    from intelligent_document_processing_on_aws_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x\ny"), (2, "x\nz")], "doc_id long, text string")
+    plan = _plan(line_dedup(docs))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 8, plan.count("Exchange")
+
+
+def test_round5_audio_plans_map_only(spark):
+    """Audio decode/probe stages are one Arrow MapInPandas over the
+    payload scan — zero Exchange; at 100 TB they scale exactly like the
+    binary-column scan."""
+    from intelligent_document_processing_on_aws_spark.operators.multimodal import (
+        audio_signal_stats,
+        probe_av_meta,
+    )
+
+    items = spark.createDataFrame(
+        [(1, bytearray(b"RIFF"))], "item_id long, payload binary")
+    for op in (audio_signal_stats, probe_av_meta):
+        plan = _plan(op(items))
+        assert "BatchEvalPython" not in plan, op.__name__
+        assert plan.count("MapInPandas") == 1, op.__name__
+        assert "Exchange" not in plan, op.__name__
