@@ -23,11 +23,15 @@ from pyspark.sql import functions as F  # noqa: E402
 from intelligent_document_processing_on_aws_spark.entry_queries import (  # noqa: E402
     _docs_with_dups,
     q_ann_brute_topk,
+    q_audio_features,
     q_doc_quality,
     q_doc_stats,
     q_eval_metrics,
     q_extract_xls,
     q_image_resize,
+    q_lang_classifier,
+    q_line_dedup,
+    q_lm_perplexity,
     q_pricing_summary,
     q_section_attributes,
 )
@@ -120,6 +124,13 @@ def main() -> int:
                F.avg("dup5gram_char_fraction")).collect())
     timed("extract_xls", lambda: q_extract_xls(spark, sf_dir).count())
     timed("image_resize", lambda: q_image_resize(spark, sf_dir).count())
+    timed("audio_features", lambda: q_audio_features(spark, sf_dir).count())
+    timed("lang_classifier", lambda: q_lang_classifier(spark, sf_dir)
+          .agg(F.avg(F.col("correct").cast("double"))).collect())
+    timed("lm_perplexity", lambda: q_lm_perplexity(spark, sf_dir)
+          .agg(F.sum("n_bigrams"), F.avg("ppl")).collect())
+    timed("line_dedup", lambda: q_line_dedup(spark, sf_dir)
+          .agg(F.sum("n_removed")).collect())
     timed("dedup_ngram_jaccard",
           lambda: ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), 0.8).count())
     timed("dedup_minhash_lsh",
