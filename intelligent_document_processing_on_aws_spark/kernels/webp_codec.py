@@ -99,7 +99,7 @@ class _BitWriter:
 # --------------------------------------------------------------------------
 
 # code length code symbol order (RFC 9649 §3.5.2)
-_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 
 def _canonical_codes(lengths: list[int]) -> list[int]:
@@ -188,10 +188,13 @@ def _read_code_lengths(br: _BitReader, alphabet: int) -> list[int]:
     else:
         max_symbol = alphabet
 
+    # Read exactly like the canonical decoder: until the alphabet is
+    # filled or max_symbol reads are consumed (each RLE op counts as one
+    # read).  There is NO Kraft-closure early stop in the spec — code
+    # completeness is validated later when the tree is built.
     lengths = [0] * alphabet
     prev_len = 8
     symbol = 0
-    space = 1 << 15  # kraft budget at max depth 15
     while symbol < alphabet and max_symbol > 0:
         max_symbol -= 1
         s = clc.decode(br)
@@ -200,23 +203,13 @@ def _read_code_lengths(br: _BitReader, alphabet: int) -> list[int]:
             symbol += 1
             if s:
                 prev_len = s
-                space -= 1 << (15 - s)
-                if space < 0:
-                    raise WebpError("over-subscribed code lengths")
-                if space == 0:
-                    break
         elif s == 16:
             rep = 3 + br.read(2)
+            if symbol + rep > alphabet:
+                raise WebpError("code length repeat overflow")
             for _ in range(rep):
-                if symbol >= alphabet:
-                    raise WebpError("code length repeat overflow")
                 lengths[symbol] = prev_len
                 symbol += 1
-                space -= 1 << (15 - prev_len)
-                if space < 0:
-                    raise WebpError("over-subscribed code lengths")
-            if space == 0:
-                break
         elif s == 17:
             symbol += 3 + br.read(3)
         elif s == 18:
@@ -559,6 +552,24 @@ def _vp8l_payload(data: bytes) -> bytes:
     raise WebpError("no VP8L chunk in WebP container")
 
 
+def has_lossy_vp8(data: bytes) -> bool:
+    """RIFF walk: True iff the container's image chunk is lossy 'VP8 '
+    (used to gate the optional system-libwebp fallback — never matches
+    VP8L, and never false-positives on bytes inside chunk bodies)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return False
+    off = 12
+    while off + 8 <= len(data):
+        fourcc = data[off:off + 4]
+        if fourcc == b"VP8 ":
+            return True
+        if fourcc == b"VP8L":
+            return False
+        size = struct.unpack("<I", data[off + 4:off + 8])[0]
+        off += 8 + size + (size & 1)
+    return False
+
+
 def decode_webp(data: bytes) -> np.ndarray:
     """Decode a lossless WebP to (h, w, 3) uint8 RGB or (h, w, 4) RGBA
     (alpha kept when the header's alpha hint is set)."""
@@ -688,8 +699,10 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> list[int]:
             [1 if l else 0 for l in lengths] if len(nonzero) == 2 else lengths
         )
     bw.write(0, 1)  # full code
-    # code-length code over the histogram of lengths (no 16/17/18 RLE,
-    # except trailing zeros which the reader infers from kraft closure)
+    # code-length code over the histogram of lengths (no 16/17/18 RLE);
+    # trailing zeros are trimmed via the spec's max_symbol shortcut —
+    # the canonical decoder has no Kraft early stop, so without the
+    # shortcut it would expect a length entry for EVERY alphabet symbol
     last_nz = max(nonzero)
     used = lengths[: last_nz + 1]
     clc_freq = [0] * 19
@@ -704,7 +717,16 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> list[int]:
     bw.write(19 - 4, 4)
     for sym in _CLC_ORDER:
         bw.write(clc_lengths[sym], 3)
-    bw.write(0, 1)  # no max_symbol shortcut
+    if len(used) == len(lengths):
+        bw.write(0, 1)  # no trailing zeros to trim
+    else:
+        bw.write(1, 1)  # max_symbol shortcut: stop after len(used) reads
+        val = len(used) - 2
+        nbits = 2
+        while val >= (1 << nbits):
+            nbits += 2
+        bw.write((nbits - 2) // 2, 3)
+        bw.write(val, nbits)
     clc_codes = _canonical_codes(clc_lengths)
     single_clc = sum(1 for l in clc_lengths if l) == 1
     for l in used:

@@ -303,9 +303,17 @@ def test_decode_dispatch_routes_all_formats():
     assert (_decode_image(encode_tiff(g)) == g).all()
     assert (_decode_image(encode_gif(g)) == np.dstack([g, g, g])).all()
     assert (_decode_image(encode_webp(g)) == np.dstack([g, g, g])).all()
-    # lossy VP8 is the remaining WebP boundary (loud, typed)
-    with pytest.raises(WebpError, match="lossy"):
+    # lossy VP8 routes to system libwebp when present; a corrupt
+    # bitstream stays a typed WebpError (WebpSysError subclasses it),
+    # and without the library the honest boundary message is unchanged
+    with pytest.raises(WebpError):
         _decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 " + b"\x00" * 8)
+    from intelligent_document_processing_on_aws_spark.kernels import webp_sys
+
+    if webp_sys.available():
+        lossy = webp_sys.encode_lossy(np.dstack([g, g, g]), quality=90)
+        out = _decode_image(lossy)
+        assert out.shape[:2] == g.shape and out.shape[2] in (3, 4)
     # wholly unknown formats keep the NotImplementedError boundary
     with pytest.raises(NotImplementedError):
         _decode_image(b"\x00\x01\x02not-an-image")
