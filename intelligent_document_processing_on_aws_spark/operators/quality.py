@@ -184,3 +184,71 @@ def quality_gate_ids(
     for name, cap in gates.items():
         cond = cond & (F.col(name) <= cap)
     return q.where(cond).select("doc_id")
+
+
+# -- Gopher word-level gates (Rae et al. 2021, Table A1 word rows) -----------
+
+# a document must contain at least MIN_REQUIRED_STOPWORD_HITS distinct
+# members of this frozen list to count as running English prose
+REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+GOPHER_WORD_BOUNDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "min_stopword_hits": 2,
+}
+
+# punctuation stripped from word edges before the stopword membership
+# test ('the,' counts as 'the'); ASCII-only so Spark/DuckDB trim agree
+_EDGE_PUNCT = ".,;:!?\"'()[]"
+
+
+def _bare_words(col: Column) -> Column:
+    return F.transform(_words(col), lambda x: F.trim(x, F.lit(_EDGE_PUNCT)))
+
+
+def word_count(col: Column) -> Column:
+    """Whitespace-token count (Gopher's 50..100k document-length gate)."""
+    return F.size(_words(col))
+
+
+def mean_word_length(col: Column) -> Column:
+    """Mean whitespace-token length, trunc6-quantized; 0.0 for empty."""
+    words = _words(col)
+    nw = F.size(words)
+    total = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return F.when(nw == 0, F.lit(0.0)).otherwise(_trunc6(total / nw))
+
+
+def required_stopword_hits(col: Column) -> Column:
+    """How many DISTINCT required stopwords appear as whole (edge-punct
+    stripped) words — Gopher drops documents with fewer than 2."""
+    bare = _bare_words(col)
+    hits = F.lit(0)
+    for w in REQUIRED_STOPWORDS:
+        hits = hits + F.array_contains(bare, w).cast("int")
+    return hits
+
+
+def doc_word_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, mean_word_len, stopword_hits, word_gates_pass)
+    — pure codegen'd projection over the scan, zero Python, zero
+    shuffles; the three word-level Gopher gates evaluated in one pass."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    b = GOPHER_WORD_BOUNDS
+    nw = word_count(t).alias("n_words")
+    ml = mean_word_length(t).alias("mean_word_len")
+    sh = required_stopword_hits(t).alias("stopword_hits")
+    out = docs.select("doc_id", nw, ml, sh)
+    gate = (
+        (F.col("n_words") >= b["min_words"])
+        & (F.col("n_words") <= b["max_words"])
+        & (F.col("mean_word_len") >= b["min_mean_word_len"])
+        & (F.col("mean_word_len") <= b["max_mean_word_len"])
+        & (F.col("stopword_hits") >= b["min_stopword_hits"])
+    )
+    return out.withColumn("word_gates_pass", gate)

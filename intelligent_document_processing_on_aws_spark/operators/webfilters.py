@@ -155,3 +155,37 @@ def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
         "url", "canonical_url",
         (F.col("url") != F.min("url").over(w)).alias("is_duplicate"),
     )
+
+
+# -- C4 blocklist-word document filter ---------------------------------------
+
+# C4 (Raffel et al. 2020 §2.2) drops any page containing a word from a
+# public blocklist. The list is deployment-supplied; this frozen default
+# covers unambiguous spam/adult markers for tests and the oracle.
+DEFAULT_BADWORDS = (
+    "viagra", "cialis", "porn", "xxx", "casino", "jackpot",
+    "escort", "nude",
+)
+
+# word-edge punctuation stripped before membership ('casino!' hits)
+_BW_EDGE_PUNCT = ".,;:!?\"'()[]"
+
+
+def badword_hits(col: Column, words: tuple[str, ...] = DEFAULT_BADWORDS
+                 ) -> Column:
+    """How many DISTINCT blocklist words appear as whole (lowercased,
+    edge-punct-stripped) words. Pure higher-order array expression —
+    codegen over the scan, shared byte-for-byte with the SQL oracle."""
+    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+    bare = F.transform(toks, lambda x: F.trim(x, F.lit(_BW_EDGE_PUNCT)))
+    hits = F.lit(0)
+    for w in words:
+        hits = hits + F.array_contains(bare, w).cast("int")
+    return hits
+
+
+def badword_filter(docs: DataFrame, text_col: str = "text",
+                   words: tuple[str, ...] = DEFAULT_BADWORDS) -> DataFrame:
+    """Drop documents containing ANY blocklist word (C4's page-level
+    rule). Map-only: a codegen'd filter over the scan, no shuffle."""
+    return docs.where(badword_hits(F.col(text_col), words) == 0)

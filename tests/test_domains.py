@@ -1,0 +1,172 @@
+"""Domain-level curation operators: host parsing, registrable-domain
+grouping (public-suffix-lite), per-domain stats, blocklist/volume-cap
+gating — plus the Gopher word gates and the C4 badword filter."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligent_document_processing_on_aws_spark.operators.domains import (
+    domain_filter,
+    domain_stats,
+    registrable_domain,
+    url_host,
+)
+from intelligent_document_processing_on_aws_spark.operators.quality import (
+    doc_word_stats,
+    mean_word_length,
+    required_stopword_hits,
+    word_count,
+)
+from intelligent_document_processing_on_aws_spark.operators.webfilters import (
+    badword_filter,
+    badword_hits,
+)
+
+
+HOST_CASES = [
+    ("https://www.Example.COM/path?q=1", "www.example.com"),
+    ("http://user:pw@host.org:8080/x", "host.org"),
+    ("https://site.co.uk", "site.co.uk"),
+    ("ftp://files.example.net/a/b", "files.example.net"),
+    ("https://10.0.0.1:443/x", "10.0.0.1"),
+    ("no-scheme.example.com/path", ""),  # schemeless -> empty host
+]
+
+DOMAIN_CASES = [
+    ("www.example.com", "example.com"),
+    ("a.b.c.example.org", "example.org"),
+    ("www.site.co.uk", "site.co.uk"),          # multi-suffix eTLD
+    ("portal.uni.ac.jp", "uni.ac.jp"),
+    ("cdn.shop.com.au", "shop.com.au"),
+    ("ac.uk", "ac.uk"),                         # bare suffix passthrough
+    ("10.1.2.5", "10.1.2.5"),                   # raw IP passthrough
+    ("localhost", "localhost"),                 # single label
+]
+
+
+def test_url_host_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in HOST_CASES], "url string")
+    got = [r.h for r in
+           df.select(url_host(F.col("url")).alias("h")).collect()]
+    assert got == [want for _, want in HOST_CASES]
+
+
+def test_registrable_domain_cases(spark):
+    df = spark.createDataFrame([(h,) for h, _ in DOMAIN_CASES], "h string")
+    got = [r.d for r in
+           df.select(registrable_domain(F.col("h")).alias("d")).collect()]
+    assert got == [want for _, want in DOMAIN_CASES]
+
+
+def _pages(spark):
+    rows = [
+        (1, "https://www.spam.com/a", 100),
+        (2, "https://blog.spam.com/b", 200),   # same registrable domain
+        (3, "https://ok.org/a", 50),
+        (4, "https://ok.org/b", 70),
+        (5, "https://big.net/1", 10),
+        (6, "https://big.net/2", 10),
+        (7, "https://big.net/3", 10),
+        (8, "https://small.io/x", 99),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+
+
+def test_domain_stats_rollup(spark):
+    out = {r.domain: (r.n_docs, r.total_chars)
+           for r in domain_stats(_pages(spark)).collect()}
+    assert out == {
+        "spam.com": (2, 300),
+        "ok.org": (2, 120),
+        "big.net": (3, 30),
+        "small.io": (1, 99),
+    }
+
+
+def test_domain_filter_blocklist_and_cap(spark):
+    bl = spark.createDataFrame([("spam.com",)], "domain string")
+    kept = sorted(
+        r.doc_id
+        for r in domain_filter(_pages(spark), bl,
+                               max_docs_per_domain=2).collect()
+    )
+    # spam.com blocklisted (1,2); big.net over the 2-doc cap (5,6,7)
+    assert kept == [3, 4, 8]
+    # schema passthrough: gate drops rows, never alters columns
+    cols = domain_filter(_pages(spark), bl).columns
+    assert cols == ["doc_id", "url", "n_chars"]
+
+
+def test_domain_filter_is_broadcast_anti_join(spark):
+    bl = spark.createDataFrame([("spam.com",)], "domain string")
+    plan = domain_filter(_pages(spark), bl, max_docs_per_domain=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # both gates join broadcast-side — the page table never shuffles
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
+
+
+# -- Gopher word gates --------------------------------------------------------
+
+
+def test_word_gate_signals(spark):
+    text = "The cat sat, and that dog ran to be with one of them."
+    df = spark.createDataFrame([(text,)], "t string")
+    row = df.select(
+        word_count(F.col("t")).alias("n"),
+        mean_word_length(F.col("t")).alias("m"),
+        required_stopword_hits(F.col("t")).alias("s"),
+    ).first()
+    assert row.n == 13
+    # 'The'->the, 'and', 'that' (comma stripped), 'to', 'be', 'with',
+    # 'of' = 7 of the 8 required stopwords ('have' absent)
+    assert row.s == 7
+    assert 2.0 < row.m < 5.0
+
+
+def test_word_gates_null_and_empty(spark):
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "   ")],
+                               "doc_id long, text string")
+    rows = {r.doc_id: r for r in doc_word_stats(df).collect()}
+    for i in (1, 2, 3):
+        assert rows[i].n_words == 0
+        assert rows[i].mean_word_len == 0.0
+        assert rows[i].stopword_hits == 0
+        assert rows[i].word_gates_pass is False
+
+
+def test_doc_word_stats_is_pure_codegen(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = doc_word_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- C4 badword filter --------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text,hits",
+    [
+        ("A normal sentence about cooking.", 0),
+        ("Win at the CASINO, tonight!", 1),       # case + edge punct
+        ("cheap viagra; cialis.", 2),             # two distinct words
+        ("visiting casinos legally", 0),          # whole-word: no hit
+        ("xxx", 1),
+        ("", 0),
+    ],
+)
+def test_badword_hits_whole_word_rule(spark, text, hits):
+    df = spark.createDataFrame([(text,)], "t string")
+    assert df.select(badword_hits(F.col("t")).alias("h")).first().h == hits
+
+
+def test_badword_filter_drops_flagged_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "clean text here"), (2, "hit the jackpot now")],
+        "doc_id long, text string",
+    )
+    assert [r.doc_id for r in badword_filter(df).collect()] == [1]
