@@ -189,3 +189,59 @@ def badword_filter(docs: DataFrame, text_col: str = "text",
     """Drop documents containing ANY blocklist word (C4's page-level
     rule). Map-only: a codegen'd filter over the scan, no shuffle."""
     return docs.where(badword_hits(F.col(text_col), words) == 0)
+
+
+# -- mojibake repair (CP1252 double-encoding) ---------------------------------
+
+# UTF-8 text mis-decoded as Windows-1252 is the dominant web encoding
+# defect ("donâ€™t" for "don’t" — what ftfy calls mojibake; public
+# phenomenon, table derived below from the codecs themselves, no lookup
+# data shipped). The repair is a fixed chain of LITERAL replaces —
+# codegen'd end-to-end in Spark and byte-identical in the DuckDB oracle.
+
+# frozen repair targets: curly quotes/dashes/ellipsis, currency/legal
+# marks, and the Latin-1 letter block most common in web text
+_MOJI_TARGETS = (
+    "’‘“‚„–—…•€™©®°±"
+    "éèêëàâçüöäñíóúá£¢¿¡ß"
+)
+
+
+def _cp1252_mojibake(ch: str) -> str | None:
+    try:
+        return ch.encode("utf-8").decode("cp1252")
+    except UnicodeDecodeError:
+        return None  # UTF-8 byte undefined in cp1252 (0x81/8D/8F/90/9D)
+
+
+# (mojibake_sequence, repaired_char), longest sequences first so a
+# 3-byte repair never leaves a dangling 2-byte prefix for a later step;
+# single pass by design (double-encoded text needs a second application)
+MOJIBAKE_TABLE: tuple[tuple[str, str], ...] = tuple(
+    sorted(
+        ((m, ch) for ch in _MOJI_TARGETS
+         if (m := _cp1252_mojibake(ch)) is not None),
+        key=lambda p: (-len(p[0]), p[0]),
+    )
+)
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair CP1252 mojibake with the frozen literal-replace chain.
+    Pure codegen — no regex, no Python."""
+    out = col
+    for moji, ch in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(moji), F.lit(ch))
+    return out
+
+
+def mojibake_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fixed_text, was_mojibake) — repair + detection in one
+    map-only codegen'd projection."""
+    t = F.col(text_col)
+    fixed = fix_mojibake(t)
+    return docs.select(
+        "doc_id",
+        fixed.alias("fixed_text"),
+        (~fixed.eqNullSafe(t)).alias("was_mojibake"),
+    )

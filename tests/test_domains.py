@@ -170,3 +170,50 @@ def test_badword_filter_drops_flagged_docs(spark):
         "doc_id long, text string",
     )
     assert [r.doc_id for r in badword_filter(df).collect()] == [1]
+
+
+# -- mojibake repair ----------------------------------------------------------
+
+
+def test_mojibake_roundtrip_repairs_planted_defects(spark):
+    from intelligent_document_processing_on_aws_spark.operators.webfilters import (
+        fix_mojibake,
+    )
+
+    clean = "don’t stop — it’s café… “fine‘ – €99 ©"
+    moji = clean.encode("utf-8").decode("cp1252")
+    assert moji != clean
+    df = spark.createDataFrame([(moji,), (clean,), ("plain ascii",)],
+                               "t string")
+    got = [r.f for r in df.select(fix_mojibake(F.col("t")).alias("f"))
+           .collect()]
+    assert got[0] == clean          # defect repaired
+    assert got[1] == clean          # already-clean text untouched
+    assert got[2] == "plain ascii"  # ascii untouched
+
+
+def test_mojibake_stats_flags_and_nulls(spark):
+    from intelligent_document_processing_on_aws_spark.operators.webfilters import (
+        mojibake_stats,
+    )
+
+    moji = "’".encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame(
+        [(1, f"x {moji} y"), (2, "clean"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in mojibake_stats(df).collect()}
+    assert rows[1].was_mojibake is True and "’" in rows[1].fixed_text
+    assert rows[2].was_mojibake is False
+    assert rows[3].was_mojibake is False and rows[3].fixed_text is None
+
+
+def test_mojibake_is_pure_codegen(spark):
+    from intelligent_document_processing_on_aws_spark.operators.webfilters import (
+        mojibake_stats,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = mojibake_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
