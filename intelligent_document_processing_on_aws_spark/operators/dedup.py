@@ -561,3 +561,104 @@ def line_dedup(
             .alias("n_removed"),
         )
     )
+
+
+def substring_span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document exact-substring dedup at k-token-window
+    granularity (Lee et al. 2022 'Deduplicating Training Data Makes
+    Language Models Better' / RefinedWeb exact-span removal — public
+    papers; no reference-repo analog). Suffix arrays are the
+    shared-memory formulation; the distributed equivalent is fixed-size
+    token windows, which find exactly the duplicated substrings of
+    >= k tokens.
+
+    Frozen spec:
+    - tokens = whitespace-split ('\\s+'), blanks dropped, case/punct
+      preserved; the rebuilt text joins surviving tokens with a single
+      space (whitespace runs and newlines are normalized — documented
+      deviation from byte-level suffix arrays);
+    - a window = k consecutive tokens joined with ' '; it is
+      corpus-duplicated iff it occurs in >= min_docs DISTINCT docs;
+    - of all occurrences of a duplicated window corpus-wide, the
+      smallest (doc_id, pos) is the canonical one; every token covered
+      by a NON-canonical occurrence is removed (the canonical copy's
+      tokens survive unless another window's non-canonical occurrence
+      covers them);
+    - docs shorter than k tokens pass through untouched.
+
+    Output: (doc_id, text_deduped, n_tokens, n_removed).
+
+    100-TB shape: window generation is a map-side array expression (no
+    explode of full text — one row per window position); duplicated-
+    window detection and occurrence ranking share ONE shuffle key (the
+    window string), so the distinct-doc count and the row_number window
+    co-locate; removed-position explosion is bounded by duplicated
+    content only; the rebuild is one Exchange on doc_id. Window-key
+    hot spots (boilerplate repeated in 10^6 docs) are the same bounded
+    skew class as line_dedup's — AQE skew handling covers the join
+    back.
+    """
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+    base = docs.select(
+        "doc_id",
+        toks.alias("__toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    # one row per window position: (doc_id, pos, wkey), pos 0-based
+    nwin = F.greatest(F.lit(0), F.size("__toks") - F.lit(k - 1))
+    wins = base.where(F.size("__toks") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), nwin),
+                lambda i: F.array_join(F.slice("__toks", i, k), " "),
+            )
+        ).alias("pos", "wkey"),
+    )
+    occ = wins.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("wkey").orderBy("doc_id", "pos")
+        ),
+    )
+    dup = (
+        wins.select("wkey", "doc_id").distinct()
+        .groupBy("wkey")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("wkey")
+    )
+    # token positions covered by non-canonical duplicated occurrences
+    removed = (
+        occ.join(dup, "wkey", "left_semi")
+        .where(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("tpos").alias("__rm"))
+    )
+    kept = F.filter(
+        "__toks",
+        lambda t, i: F.col("__rm").isNull()
+        | ~F.array_contains("__rm", i),
+    )
+    return base.join(removed, "doc_id", "left").select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text_deduped"),
+        "n_tokens",
+        F.coalesce(F.size("__rm"), F.lit(0)).cast("long")
+        .alias("n_removed"),
+    )
