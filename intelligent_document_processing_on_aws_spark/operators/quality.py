@@ -234,12 +234,15 @@ def required_stopword_hits(col: Column) -> Column:
     return hits
 
 
-def doc_word_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def doc_word_stats(
+    docs: DataFrame, text_col: str = "text", bounds: dict | None = None
+) -> DataFrame:
     """(doc_id, n_words, mean_word_len, stopword_hits, word_gates_pass)
     — pure codegen'd projection over the scan, zero Python, zero
-    shuffles; the three word-level Gopher gates evaluated in one pass."""
+    shuffles; the three word-level Gopher gates evaluated in one pass.
+    `bounds` overrides GOPHER_WORD_BOUNDS keys (partial dicts fine)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    b = GOPHER_WORD_BOUNDS
+    b = {**GOPHER_WORD_BOUNDS, **(bounds or {})}
     nw = word_count(t).alias("n_words")
     ml = mean_word_length(t).alias("mean_word_len")
     sh = required_stopword_hits(t).alias("stopword_hits")

@@ -20,6 +20,13 @@ candidate set):
   6. exact dedup (hash groupBy) keeps one doc per identical text;
   7. near-dup MinHash-LSH pairs -> connected components -> canonical only.
 
+Optional r5 stages (flags, default off; applied in published order):
+--fix-mojibake repairs CP1252 double-encoding BEFORE any signal;
+--word-gates applies the Gopher word-count/length/stopword rows;
+--badwords drops blocklist-word documents (C4 page rule);
+--span-dedup K removes duplicated >=K-token spans AFTER near-dup
+(RefinedWeb ordering).
+
 All stages are shuffle-lean: stats are map-only; the quality gate pushes
 into the scan; exact dedup is one hash aggregation; LSH is banded
 bucket-joins (never all-pairs). Output warehouse: stats/, curated/, and a
@@ -72,6 +79,19 @@ def main() -> int:
                     help="C4 line filter + doc-drop rules before dedup")
     ap.add_argument("--redact-pii", action="store_true",
                     help="redact emails/IPv4s in the curated text")
+    ap.add_argument("--fix-mojibake", action="store_true",
+                    help="repair CP1252 mojibake before any analysis")
+    ap.add_argument("--badwords", action="store_true",
+                    help="drop documents containing blocklist words (C4)")
+    ap.add_argument("--word-gates", action="store_true",
+                    help="Gopher word-level gates (count/length/stopwords)")
+    ap.add_argument("--min-words", type=int, default=50,
+                    help="word-gate lower document length (Gopher: 50)")
+    ap.add_argument("--min-stopword-hits", type=int, default=2,
+                    help="distinct required stopwords (Gopher: 2)")
+    ap.add_argument("--span-dedup", type=int, default=0, metavar="K",
+                    help="remove duplicated >=K-token spans from the "
+                         "curated corpus (0 = off)")
     ap.add_argument("--cores", type=int, default=8)
     args = ap.parse_args()
 
@@ -79,6 +99,14 @@ def main() -> int:
     spark = get_spark("idp-curate", master=f"local[{args.cores}]",
                       shuffle_partitions=args.cores * 2)
     docs = spark.read.parquet(args.input).select("doc_id", "text")
+    if args.fix_mojibake:
+        # encoding repair precedes every signal (CCNet ordering): a
+        # mojibake'd doc must not fail lang/quality gates for its bytes
+        from intelligent_document_processing_on_aws_spark.operators.webfilters import (
+            fix_mojibake,
+        )
+
+        docs = docs.withColumn("text", fix_mojibake(F.col("text")))
     n_docs = docs.count()
 
     # stats computed once, written, and RE-READ as the gate's input — the
@@ -102,6 +130,29 @@ def main() -> int:
     # Gopher repetition gate: one map-only Arrow pass over the survivors
     gated = gated.join(quality_gate_ids(gated), "doc_id")
     n_repetition = gated.count()
+
+    n_word_gates = None
+    if args.word_gates:
+        from intelligent_document_processing_on_aws_spark.operators.quality import (
+            doc_word_stats,
+        )
+
+        wg = doc_word_stats(
+            gated,
+            bounds={"min_words": args.min_words,
+                    "min_stopword_hits": args.min_stopword_hits},
+        ).where(F.col("word_gates_pass")).select("doc_id")
+        gated = gated.join(wg, "doc_id")
+        n_word_gates = gated.count()
+
+    n_badwords = None
+    if args.badwords:
+        from intelligent_document_processing_on_aws_spark.operators.webfilters import (
+            badword_filter,
+        )
+
+        gated = badword_filter(gated)
+        n_badwords = gated.count()
 
     n_c4 = None
     if args.c4_clean:
@@ -145,6 +196,22 @@ def main() -> int:
         )
 
         kept = kept.withColumn("text", redact_pii(F.col("text")))
+    n_span_removed = None
+    if args.span_dedup:
+        # RefinedWeb ordering: span removal runs on the deduped corpus
+        from intelligent_document_processing_on_aws_spark.operators.dedup import (
+            substring_span_dedup,
+        )
+
+        spans = substring_span_dedup(kept, k=args.span_dedup)
+        n_span_removed = (
+            spans.agg(F.sum("n_removed")).collect()[0][0] or 0
+        )
+        kept = kept.drop("text").join(
+            spans.select("doc_id",
+                         F.col("text_deduped").alias("text")),
+            "doc_id",
+        )
     kept.write.mode("overwrite").parquet(os.path.join(args.output, "curated"))
     n_kept = spark.read.parquet(os.path.join(args.output, "curated")).count()
 
@@ -152,7 +219,10 @@ def main() -> int:
         "docs": n_docs,
         "after_quality": n_quality,
         "after_repetition": n_repetition,
+        "after_word_gates": n_word_gates,
+        "after_badwords": n_badwords,
         "after_c4": n_c4,
+        "span_tokens_removed": n_span_removed,
         "after_exact": n_exact,
         "lsh_dropped_buckets": n_dropped_buckets,
         "kept": n_kept,
