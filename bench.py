@@ -29,9 +29,12 @@ from intelligent_document_processing_on_aws_spark.entry_queries import (  # noqa
     q_eval_metrics,
     q_extract_xls,
     q_image_resize,
+    q_incremental_dedup,
     q_lang_classifier,
     q_line_dedup,
     q_lm_perplexity,
+    q_mojibake_repair,
+    q_substring_dedup,
     q_pricing_summary,
     q_section_attributes,
 )
@@ -131,6 +134,12 @@ def main() -> int:
           .agg(F.sum("n_bigrams"), F.avg("ppl")).collect())
     timed("line_dedup", lambda: q_line_dedup(spark, sf_dir)
           .agg(F.sum("n_removed")).collect())
+    timed("substring_dedup", lambda: q_substring_dedup(spark, sf_dir)
+          .agg(F.sum("n_removed")).collect())
+    timed("incremental_dedup",
+          lambda: q_incremental_dedup(spark, sf_dir).count())
+    timed("mojibake_repair", lambda: q_mojibake_repair(spark, sf_dir)
+          .agg(F.sum(F.col("was_mojibake").cast("long"))).collect())
     timed("dedup_ngram_jaccard",
           lambda: ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), 0.8).count())
     timed("dedup_minhash_lsh",

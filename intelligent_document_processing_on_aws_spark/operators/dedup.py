@@ -568,6 +568,8 @@ def substring_span_dedup(
     text_col: str = "text",
     k: int = 8,
     min_docs: int = 2,
+    hash_windows: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cross-document exact-substring dedup at k-token-window
     granularity (Lee et al. 2022 'Deduplicating Training Data Makes
@@ -594,14 +596,18 @@ def substring_span_dedup(
     Output: (doc_id, text_deduped, n_tokens, n_removed).
 
     100-TB shape: window generation is a map-side array expression (no
-    explode of full text — one row per window position); duplicated-
-    window detection and occurrence ranking share ONE shuffle key (the
-    window string), so the distinct-doc count and the row_number window
-    co-locate; removed-position explosion is bounded by duplicated
-    content only; the rebuild is one Exchange on doc_id. Window-key
-    hot spots (boilerplate repeated in 10^6 docs) are the same bounded
-    skew class as line_dedup's — AQE skew handling covers the join
-    back.
+    explode of full text — one row per window position), materialized
+    ONCE (lazy lineage truncation, `checkpoint_dir` switches
+    localCheckpoint -> reliable checkpoint for multi-hour runs) and
+    shared by the duplicated-window detection and the occurrence
+    ranking, which also share ONE shuffle key; removed-position
+    explosion is bounded by duplicated content only; the rebuild is one
+    Exchange on doc_id. `hash_windows=True` (default) shuffles 8-byte
+    xxhash64 window keys instead of k-token strings — two distinct
+    windows colliding (~2^-64 per pair) is the documented exactness
+    boundary; pass False for literal string keys. Window-key hot spots
+    (boilerplate repeated in 10^6 docs) are the same bounded skew class
+    as line_dedup's — AQE skew handling covers the join back.
     """
     toks = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
@@ -614,15 +620,18 @@ def substring_span_dedup(
     )
     # one row per window position: (doc_id, pos, wkey), pos 0-based
     nwin = F.greatest(F.lit(0), F.size("__toks") - F.lit(k - 1))
+    wstr = lambda i: F.array_join(F.slice("__toks", i, k), " ")  # noqa: E731
     wins = base.where(F.size("__toks") >= k).select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), nwin),
-                lambda i: F.array_join(F.slice("__toks", i, k), " "),
+                (lambda i: F.xxhash64(wstr(i))) if hash_windows else wstr,
             )
         ).alias("pos", "wkey"),
     )
+    # window table computed ONCE for df-count + occurrence ranking
+    wins = _truncate_lineage(wins, checkpoint_dir, eager=False)
     occ = wins.withColumn(
         "rn",
         F.row_number().over(
