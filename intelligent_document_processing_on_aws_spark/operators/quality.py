@@ -215,13 +215,19 @@ def word_count(col: Column) -> Column:
 
 
 def mean_word_length(col: Column) -> Column:
-    """Mean whitespace-token length, trunc6-quantized; 0.0 for empty."""
+    """Mean whitespace-token length, trunc6-quantized; 0.0 for empty.
+    Multiplies BEFORE dividing (floor(total*1e6/n)/1e6): total*1e6 is
+    exact in a double, so the quantization never lands one ulp below a
+    representable boundary (4.1 stays 4.1, not 4.099999) and matches
+    the SQL oracle's identical operand order."""
     words = _words(col)
     nw = F.size(words)
     total = F.aggregate(
         words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
-    return F.when(nw == 0, F.lit(0.0)).otherwise(_trunc6(total / nw))
+    return F.when(nw == 0, F.lit(0.0)).otherwise(
+        F.floor(total * F.lit(1e6) / nw) / 1e6
+    )
 
 
 def required_stopword_hits(col: Column) -> Column:
