@@ -245,3 +245,60 @@ def mojibake_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         fixed.alias("fixed_text"),
         (~fixed.eqNullSafe(t)).alias("was_mojibake"),
     )
+
+
+# -- Unicode script profile ---------------------------------------------------
+
+# explicit codepoint ranges in \x{...} syntax — the ONE escape form Java
+# regex (Spark) and RE2 (DuckDB) both accept byte-for-byte (\uXXXX is
+# Java-only; \p{Latin} spells differently across engines, ranges do
+# not). Latin covers ASCII letters + Latin-1/Extended-A/B.
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("latin", "A-Za-z\\x{00C0}-\\x{024F}"),
+    ("cyrillic", "\\x{0400}-\\x{04FF}"),
+    ("greek", "\\x{0370}-\\x{03FF}"),
+    ("arabic", "\\x{0600}-\\x{06FF}"),
+    ("devanagari", "\\x{0900}-\\x{097F}"),
+    ("cjk", "\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}"
+            "\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}"),
+)
+
+
+def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode script mix: for each of the six major script
+    blocks, the fraction of the document's LETTER characters (characters
+    belonging to any profiled block) in that block, plus the dominant
+    script. The standard precursor to language routing in multilingual
+    web pipelines (CCNet splits the crawl by script before lang-ID).
+
+    Pure codegen: one regexp_replace-based count per block over the
+    scan — zero Python, zero shuffles. Fractions quantize trunc6 with
+    multiply-before-divide; dominant ties break on block order."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.length(t)
+        - F.length(F.regexp_replace(t, f"[{rng}]", ""))
+        for name, rng in SCRIPT_RANGES
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    cols = [F.col("doc_id")]
+    for name in counts:
+        cols.append(
+            F.when(total == 0, F.lit(0.0))
+            .otherwise(F.floor(counts[name] * F.lit(1e6) / total) / 1e6)
+            .alias(f"{name}_frac")
+        )
+    # dominant = first block with the maximal count (block order ties)
+    dom = F.lit("none")
+    best = F.lit(-1).cast("long")
+    for name in counts:
+        is_better = counts[name] > best
+        dom = F.when(is_better, F.lit(name)).otherwise(dom)
+        best = F.when(is_better, counts[name]).otherwise(best)
+    cols.append(
+        F.when(total == 0, F.lit("none")).otherwise(dom)
+        .alias("dominant_script")
+    )
+    return docs.select(*cols)

@@ -217,3 +217,44 @@ def test_mojibake_is_pure_codegen(spark):
     plan = mojibake_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- Unicode script profile ---------------------------------------------------
+
+
+def test_script_profile_dominance_and_fractions(spark):
+    from intelligent_document_processing_on_aws_spark.operators.webfilters import (
+        script_profile,
+    )
+
+    rows = [
+        (1, "hello plain english text"),
+        (2, "привет мир сегодня"),
+        (3, "你好世界 こんにちは"),
+        (4, "مرحبا بالعالم"),
+        (5, "mixed текст here"),      # latin 9 letters vs cyrillic 5
+        (6, "12345 .,!?"),             # no profiled letters at all
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in script_profile(df).collect()}
+    assert out[1].dominant_script == "latin" and out[1].latin_frac == 1.0
+    assert out[2].dominant_script == "cyrillic"
+    assert out[2].cyrillic_frac == 1.0
+    assert out[3].dominant_script == "cjk" and out[3].cjk_frac == 1.0
+    assert out[4].dominant_script == "arabic"
+    assert out[5].dominant_script == "latin"
+    assert 0.0 < out[5].cyrillic_frac < 1.0
+    assert out[6].dominant_script == "none"
+    assert out[7].dominant_script == "none" and out[7].latin_frac == 0.0
+
+
+def test_script_profile_is_pure_codegen(spark):
+    from intelligent_document_processing_on_aws_spark.operators.webfilters import (
+        script_profile,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = script_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
