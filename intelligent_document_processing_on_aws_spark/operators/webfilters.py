@@ -175,8 +175,13 @@ def badword_hits(col: Column, words: tuple[str, ...] = DEFAULT_BADWORDS
                  ) -> Column:
     """How many DISTINCT blocklist words appear as whole (lowercased,
     edge-punct-stripped) words. Pure higher-order array expression —
-    codegen over the scan, shared byte-for-byte with the SQL oracle."""
-    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+    codegen over the scan, shared byte-for-byte with the SQL oracle.
+    NULL text counts as zero hits (a doc with no text has no badwords —
+    without the coalesce, NULL hits would silently fail the ==0 gate)."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(col, F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
     bare = F.transform(toks, lambda x: F.trim(x, F.lit(_BW_EDGE_PUNCT)))
     hits = F.lit(0)
     for w in words:

@@ -258,3 +258,12 @@ def test_script_profile_is_pure_codegen(spark):
     plan = script_profile(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_badword_filter_keeps_null_text_docs(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "clean"), (3, "xxx spam")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in badword_filter(df).collect())
+    assert kept == [1, 2]  # NULL text has no badwords — never dropped
