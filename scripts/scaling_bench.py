@@ -567,6 +567,27 @@ file-split balancing already bounds partition size, so salting is opt-in
 (`salt_partitions=None` default in `extract_pages`); it becomes necessary
 when downstream stages group by host/url or when input files are
 host-clustered. This bench measures the conservative salted path.
+
+### r5 query-suite additions + three-scale oracle sweep
+
+Nine new oracle-backed queries joined the suite this round —
+`doc_word_stats`, `badword_filter`, `domain_stats`, `domain_filter`
+(domain-level curation + Gopher word gates), `incremental_dedup`
+(Bloom-prefiltered batch-vs-corpus, exact), `mojibake_repair`,
+`substring_dedup` (k-token-window exact-substring span removal),
+`bm25_search` and `script_profile`. Representative sf0.1 local[32]
+timings (best of 3, same noisy-VM caveats as the headline suite):
+`substring_dedup` 3.0 s, `incremental_dedup` 1.6 s, `mojibake_repair`
+0.6 s; the rest are sub-second to ~2 s.
+
+The full queries()/oracle_sql() surface was swept at ALL THREE committed
+scales this round (`scripts/check_oracles.py --json-out`, artifacts
+`CORRECTNESS_SWEEP_r05c_sf{0.001,0.01,0.1}.json`): **68/68 queries green
+at every scale**, including the threshold-robust `dedup_minhash_lsh`
+oracle (guard band around J=0.800000) that closed the r4 verdict's only
+non-green cell, and a trunc6 operand-order fix in `mean_word_length`
+that ONLY the sf0.1 sweep exposed (mean exactly 4.1 quantizing one ulp
+low) — the sweep is doing its job as a scale gate.
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
