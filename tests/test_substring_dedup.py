@@ -76,3 +76,44 @@ def test_no_python_in_plan(spark):
     plan = substring_span_dedup(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _naive_span_dedup(docs: list[tuple[int, str]], k: int, min_docs: int):
+    """Independent O(n^2) reference implementation of the frozen spec."""
+    toks = {d: (t or "").split() for d, t in docs}
+    toks = {d: [w for w in ws if w] for d, ws in toks.items()}
+    occs: dict[str, list[tuple[int, int]]] = {}
+    for d, ws in sorted(toks.items()):
+        for p in range(len(ws) - k + 1):
+            occs.setdefault(" ".join(ws[p:p + k]), []).append((d, p))
+    removed: dict[int, set[int]] = {d: set() for d, _ in docs}
+    for key, lst in occs.items():
+        if len({d for d, _ in lst}) < min_docs:
+            continue
+        for d, p in sorted(lst)[1:]:  # canonical = smallest (doc, pos)
+            removed[d].update(range(p, p + k))
+    out = {}
+    for d, ws in toks.items():
+        kept = [w for i, w in enumerate(ws) if i not in removed[d]]
+        out[d] = (" ".join(kept), len(ws), len(removed[d]))
+    return out
+
+
+def test_differential_fuzz_vs_naive_reference(spark):
+    import random
+
+    rng = random.Random(20260818)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> dense collisions
+    for trial in range(3):
+        docs = []
+        for d in range(24):
+            n = rng.randint(0, 30)
+            docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+        k = rng.choice([3, 5])
+        expect = _naive_span_dedup(docs, k=k, min_docs=2)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text_deduped, r.n_tokens, r.n_removed)
+            for r in substring_span_dedup(df, k=k).collect()
+        }
+        assert got == expect, f"trial {trial} k={k}"
