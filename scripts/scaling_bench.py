@@ -570,12 +570,13 @@ host-clustered. This bench measures the conservative salted path.
 
 ### r5 query-suite additions + three-scale oracle sweep
 
-Nine new oracle-backed queries joined the suite this round —
+Ten new oracle-backed queries joined the suite this round —
 `doc_word_stats`, `badword_filter`, `domain_stats`, `domain_filter`
 (domain-level curation + Gopher word gates), `incremental_dedup`
 (Bloom-prefiltered batch-vs-corpus, exact), `mojibake_repair`,
 `substring_dedup` (k-token-window exact-substring span removal),
-`bm25_search` and `script_profile`. Representative sf0.1 local[32]
+`bm25_search`, `script_profile` and `doc_percentiles` (exact
+percentile parity: Spark `percentile` vs DuckDB `quantile_cont`). Representative sf0.1 local[32]
 timings (best of 3, same noisy-VM caveats as the headline suite):
 `substring_dedup` 3.0 s, `incremental_dedup` 1.6 s, `mojibake_repair`
 0.6 s; the rest are sub-second to ~2 s.
