@@ -1,0 +1,170 @@
+"""Benchmark decontamination: n-gram overlap between a training corpus
+and an evaluation set.
+
+The standard published recipe (GPT-3 Appendix C, Brown et al. 2020;
+PaLM §8, Chowdhery et al. 2022): a training document is *contaminated*
+if it shares at least one n-token n-gram (n=13 in GPT-3) with any
+document in the held-out evaluation set.  Contaminated documents are
+dropped (or the spans masked) before training so benchmark scores
+measure generalization, not memorization.
+
+Spark-first shape, sized for a 100-TB corpus vs a small eval set:
+
+- the EVAL side is tiny (benchmarks are thousands of prompts, not
+  terabytes): its distinct n-gram keys are **broadcast**, so the corpus
+  side never shuffles for the match — the explode + semi-join happens
+  map-side inside the scan stage;
+- corpus n-gram windows are generated with a native ``transform`` over
+  the token array (zero Python, stays in whole-stage codegen);
+- matches are hashed to 64-bit keys (``xxhash64``) so the broadcast
+  table and the join keys are 8 bytes per gram, not the gram text;
+  distinct-gram collision probability ~2^-64/pair is the documented
+  boundary (same convention as operators/dedup.substring_span_dedup);
+- the only shuffle is the final per-document hit aggregation, keyed on
+  doc_id — perfectly distributed, no skew possible (a doc's windows are
+  bounded by its own length).
+
+Tokenization is the corpus-wide frozen convention of the dedup
+operators (lowercase, whitespace split — kernels/fingerprint.tokens_of),
+so decontamination and span-dedup agree on token positions.
+
+Reference scope note: the reference (GenAIIDP) has no decontamination
+stage — this module is part of the beyond-reference training-data
+operator set required by the task brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_N = 13
+
+
+def _token_array(col):
+    """Lowercase whitespace tokens as a native array column.
+
+    NULL text tokenizes as empty (a NULL must not poison the whole
+    Arrow/codegen stage — the round-4 quality-operator lesson).
+    """
+    return F.filter(
+        F.split(F.lower(F.coalesce(col, F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+
+
+def _gram_windows(tok_col, n: int):
+    """All n-token windows of a token array, joined with single spaces.
+
+    Native ``transform`` over a 0..len-n index sequence — no explode yet,
+    no Python.  Empty when the document has fewer than n tokens (the
+    GPT-3 rule matches full n-grams only; shorter docs cannot collide).
+    """
+    return F.when(
+        F.size(tok_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok_col) - n),
+            lambda i: F.array_join(F.slice(tok_col, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def eval_gram_keys(evals: DataFrame, n: int = DEFAULT_N,
+                   id_col: str = "eval_id",
+                   text_col: str = "text") -> DataFrame:
+    """Distinct (gram_key, eval_id) pairs of the evaluation set.
+
+    Output is small by construction (the eval set is small); callers
+    broadcast it.  gram_key = xxhash64 of the gram text.
+    """
+    toks = _token_array(F.col(text_col))
+    return (
+        evals.select(
+            F.col(id_col).alias("eval_id"),
+            F.explode(_gram_windows(toks, n)).alias("gram"),
+        )
+        .select("eval_id", F.xxhash64("gram").alias("gram_key"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    evals: DataFrame,
+    n: int = DEFAULT_N,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination report.
+
+    Returns one row per corpus document:
+      doc_id, n_windows (n-gram windows in the doc),
+      n_hit_grams (distinct doc windows found in the eval set),
+      n_eval_ids (distinct eval documents hit),
+      contaminated (n_hit_grams > 0).
+
+    Clean documents appear with zero counts, so the output is a total
+    function of the corpus (drop-or-keep decisions join back trivially).
+    """
+    toks = _token_array(F.col(text_col))
+    doc_grams = corpus.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(_gram_windows(toks, n)).alias("gram"),
+    ).select("doc_id", F.xxhash64("gram").alias("gram_key"))
+
+    hits = doc_grams.join(
+        F.broadcast(eval_gram_keys(evals, n)), "gram_key", "inner"
+    )
+    per_doc_hits = hits.groupBy("doc_id").agg(
+        F.count_distinct("gram_key").alias("n_hit_grams"),
+        F.count_distinct("eval_id").alias("n_eval_ids"),
+    )
+    base = corpus.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.greatest(
+            F.size(toks) - F.lit(n - 1), F.lit(0)
+        ).alias("n_windows"),
+    )
+    return (
+        base.join(per_doc_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            F.coalesce("n_eval_ids", F.lit(0)).alias("n_eval_ids"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    evals: DataFrame,
+    n: int = DEFAULT_N,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus minus contaminated documents (GPT-3 drop rule).
+
+    Same broadcast-semi-join shape as contamination_report but keeps the
+    corpus row intact; the semi join never widens the corpus rows.
+    """
+    toks = _token_array(F.col(text_col))
+    doc_grams = corpus.select(
+        F.col(doc_id_col).alias("__cid"),
+        F.explode(_gram_windows(toks, n)).alias("gram"),
+    ).select("__cid", F.xxhash64("gram").alias("gram_key"))
+    dirty = (
+        doc_grams.join(
+            F.broadcast(
+                eval_gram_keys(evals, n).select("gram_key").distinct()
+            ),
+            "gram_key",
+            "inner",
+        )
+        .select("__cid")
+        .distinct()
+    )
+    return corpus.join(
+        dirty, corpus[doc_id_col] == dirty["__cid"], "left_anti"
+    )

@@ -382,3 +382,48 @@ def test_round5_audio_plans_map_only(spark):
         assert "BatchEvalPython" not in plan, op.__name__
         assert plan.count("MapInPandas") == 1, op.__name__
         assert "Exchange" not in plan, op.__name__
+
+
+def test_round5_decontamination_plan_broadcast_no_python(spark):
+    """Decontamination is scan-shaped: corpus n-gram windows are native
+    (transform over sequence, codegen), the eval gram table is
+    BROADCAST (the corpus never shuffles for the match), and the only
+    Exchange is the per-doc hit aggregation keyed on doc_id."""
+    from intelligent_document_processing_on_aws_spark.operators.contamination import (
+        contamination_report,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n")], "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m")], "eval_id long, text string")
+    plan = _plan(contamination_report(corpus, evals, n=13))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan
+    drop_plan = _plan(decontaminate(corpus, evals, n=13))
+    assert "BroadcastHashJoin" in drop_plan
+    assert "BatchEvalPython" not in drop_plan
+
+
+def test_round5_sampling_plans(spark):
+    """hash_sample is a pure codegen'd filter inside the scan stage
+    (zero Exchange, zero Python); temperature_sample shuffles only the
+    tiny per-stratum rates table and broadcasts it back."""
+    from intelligent_document_processing_on_aws_spark.operators.sampling import (
+        hash_sample,
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", 10)], "doc_id long, lang string, n_tokens long")
+    plan = _plan(hash_sample(df, 500_000))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Exchange" not in plan
+    strat = _plan(hash_sample(df, {"en": 1}, stratum_col="lang"))
+    assert "Exchange" not in strat
+    temp = _plan(temperature_sample(df, "lang", 100))
+    assert "BatchEvalPython" not in temp
+    assert "BroadcastHashJoin" in temp or "BroadcastNestedLoopJoin" in temp
