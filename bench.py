@@ -24,6 +24,8 @@ from intelligent_document_processing_on_aws_spark.entry_queries import (  # noqa
     _docs_with_dups,
     q_ann_brute_topk,
     q_audio_features,
+    q_bpe_tokenize,
+    q_decontamination,
     q_doc_quality,
     q_doc_stats,
     q_eval_metrics,
@@ -140,6 +142,11 @@ def main() -> int:
           lambda: q_incremental_dedup(spark, sf_dir).count())
     timed("mojibake_repair", lambda: q_mojibake_repair(spark, sf_dir)
           .agg(F.sum(F.col("was_mojibake").cast("long"))).collect())
+    timed("decontamination", lambda: q_decontamination(spark, sf_dir)
+          .agg(F.sum("n_hit_grams"),
+               F.sum(F.col("contaminated").cast("long"))).collect())
+    timed("bpe_tokenize", lambda: q_bpe_tokenize(spark, sf_dir)
+          .agg(F.sum("n_bpe"), F.sum("n_words")).collect())
     timed("dedup_ngram_jaccard",
           lambda: ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), 0.8).count())
     timed("dedup_minhash_lsh",

@@ -25,7 +25,10 @@ Optional r5 stages (flags, default off; applied in published order):
 --word-gates applies the Gopher word-count/length/stopword rows;
 --badwords drops blocklist-word documents (C4 page rule);
 --span-dedup K removes duplicated >=K-token spans AFTER near-dup
-(RefinedWeb ordering).
+(RefinedWeb ordering); --decontaminate EVALS drops docs sharing a
+13-gram with the eval set (GPT-3 Appendix C) right after near-dup,
+before any text rewriting; --sample-budget N finishes with the
+deterministic alpha=0.5 temperature mix down to N tokens.
 
 All stages are shuffle-lean: stats are map-only; the quality gate pushes
 into the scan; exact dedup is one hash aggregation; LSH is banded
@@ -89,6 +92,14 @@ def main() -> int:
                     help="word-gate lower document length (Gopher: 50)")
     ap.add_argument("--min-stopword-hits", type=int, default=2,
                     help="distinct required stopwords (Gopher: 2)")
+    ap.add_argument("--decontaminate", default=None, metavar="EVAL_PARQUET",
+                    help="drop docs sharing an n-gram with this eval set "
+                         "(GPT-3 Appendix C rule; parquet with eval_id, text)")
+    ap.add_argument("--contam-ngram", type=int, default=13,
+                    help="n-gram size for --decontaminate")
+    ap.add_argument("--sample-budget", type=int, default=0, metavar="TOKENS",
+                    help="final alpha=0.5 temperature sample down to this "
+                         "token budget, stratified by detected language")
     ap.add_argument("--span-dedup", type=int, default=0, metavar="K",
                     help="remove duplicated >=K-token spans from the "
                          "curated corpus (0 = off)")
@@ -190,6 +201,18 @@ def main() -> int:
     kept = survivors.join(
         groups.where(~F.col("is_duplicate")).select("doc_id"), "doc_id"
     )
+    n_decontaminated = None
+    if args.decontaminate:
+        # decontamination runs on the deduped candidate set, BEFORE any
+        # text rewriting (PII redaction / span removal) so matches are
+        # judged against the original text the eval grams came from
+        from intelligent_document_processing_on_aws_spark.operators.contamination import (
+            decontaminate,
+        )
+
+        evals = spark.read.parquet(args.decontaminate)
+        kept = decontaminate(kept, evals, n=args.contam_ngram)
+        n_decontaminated = kept.count()
     if args.redact_pii:
         from intelligent_document_processing_on_aws_spark.operators.webfilters import (
             redact_pii,
@@ -212,6 +235,26 @@ def main() -> int:
                          F.col("text_deduped").alias("text")),
             "doc_id",
         )
+    n_sampled = None
+    if args.sample_budget:
+        # final stage: temperature (alpha=0.5) mix down to the token
+        # budget, stratified by the detected language; weights use the
+        # stats-stage token counts (no recompute). Deterministic hash
+        # sampling -> a re-run picks the same training set.
+        from intelligent_document_processing_on_aws_spark.operators.sampling import (
+            temperature_sample,
+        )
+
+        kept = temperature_sample(
+            kept.join(
+                stats.select("doc_id", F.col("lang_guess").alias("lang"),
+                             "n_tokens"),
+                "doc_id",
+            ),
+            "lang", args.sample_budget,
+            token_count_col="n_tokens", seed="curate-mix-42",
+        ).drop("lang", "n_tokens")
+        n_sampled = kept.count()
     kept.write.mode("overwrite").parquet(os.path.join(args.output, "curated"))
     n_kept = spark.read.parquet(os.path.join(args.output, "curated")).count()
 
@@ -223,6 +266,8 @@ def main() -> int:
         "after_badwords": n_badwords,
         "after_c4": n_c4,
         "span_tokens_removed": n_span_removed,
+        "after_decontamination": n_decontaminated,
+        "after_sampling": n_sampled,
         "after_exact": n_exact,
         "lsh_dropped_buckets": n_dropped_buckets,
         "kept": n_kept,
