@@ -1,0 +1,129 @@
+"""Host-level link graph + integer-exact PageRank.
+
+Web-curation pipelines weight domains by their link-graph centrality
+(the Common Crawl host/domain ranking uses exactly this; PageRank is
+Page, Brin, Motwani & Winograd 1999).  This module extracts the host
+link graph from raw pages and runs a deterministic power iteration.
+
+**Integer fixed-point arithmetic.**  Floating-point PageRank sums
+per-target contributions, and a float sum's value depends on
+accumulation order — which no distributed engine guarantees, so two
+runs of the same job could (bit-wise) disagree.  Ranks here are BIGINT
+micros-of-micros (SCALE = 1e12): contributions use integer division
+(``DIV``), the damping factor 0.85 is the exact ratio 17/20, and sums
+of bigints are order-free — every run, every partitioning, and the
+DuckDB oracle produce bit-identical ranks.
+
+Deviations (documented): dangling-node mass is dropped rather than
+redistributed (total rank leaks slightly per iteration; ordering is
+preserved for typical web graphs and the behavior is deterministic),
+and ``DIV`` floor-truncation loses at most out_degree * 1e-12 rank per
+host per iteration.
+
+100-TB shape: the edge list shuffles once per iteration on dst_host
+(the groupBy key); out-degrees join on src_host.  Iterations are a
+FIXED small count (3-10 in practice — published rankings converge
+fast at host granularity), each one Exchange — no driver-side data,
+no collect.  Link extraction is a native ``regexp_extract_all`` over
+the scan: zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .domains import url_host
+
+SCALE = 1_000_000_000_000  # 1e12 fixed-point units of rank
+# href extraction: standard attribute scan (double/single-quoted)
+_HREF_RE = r"""href\s*=\s*["']([^"'#][^"']*)["']"""
+
+
+def extract_links(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(src_host, dst_host) pairs from anchors in raw page bytes.
+
+    Only absolute http(s) targets produce cross-host edges (relative
+    links stay on-host and contribute nothing to a HOST-level graph).
+    Native regexp over the scan; the html column may be binary.
+    """
+    hrefs = F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(_HREF_RE), 1
+    )
+    src = url_host(F.col(url_col))
+    return (
+        pages.select(src.alias("src_host"), F.explode(hrefs).alias("href"))
+        .where(F.col("href").rlike(r"(?i)^https?://"))
+        .select(
+            "src_host", url_host(F.col("href")).alias("dst_host")
+        )
+        .where(
+            F.col("src_host").isNotNull()
+            & F.col("dst_host").isNotNull()
+            & (F.col("src_host") != "")   # url_host yields '' on no match
+            & (F.col("dst_host") != "")
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .distinct()
+    )
+
+
+def pagerank_hosts(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+) -> DataFrame:
+    """Deterministic integer PageRank over a (src_host, dst_host)
+    edge list -> (host, rank) with rank in SCALE fixed-point units.
+
+    rank0 = SCALE DIV N for every host; each iteration:
+      contrib(e) = rank(src) DIV out_degree(src)
+      rank'(h)  = (SCALE * (den-num) DIV den) DIV N
+                  + num * sum(contrib into h) DIV den
+    All arithmetic is bigint — order-free, bit-stable.
+    """
+    edges = edges.select("src_host", "dst_host").distinct()
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionAll(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    degrees = edges.groupBy("src_host").agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    # N is one scalar (a count, not data) — the only driver action
+    n_val = int(hosts.count())
+    teleport = (SCALE * (damping_den - damping_num) // damping_den) // n_val
+
+    ranks = hosts.select(
+        "host", F.lit(SCALE // n_val).cast("long").alias("rank")
+    )
+    for _ in range(int(n_iter)):
+        contrib = (
+            edges.join(
+                ranks.withColumnRenamed("host", "src_host"), "src_host"
+            )
+            .join(degrees, "src_host")
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("rank DIV out_degree").alias("contrib"),
+            )
+            .groupBy("host")
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        ranks = hosts.join(contrib, "host", "left").select(
+            "host",
+            (
+                F.lit(teleport).cast("long")
+                + F.expr(
+                    f"({damping_num} * coalesce(incoming, 0)) "
+                    f"DIV {damping_den}"
+                )
+            ).alias("rank"),
+        )
+    return ranks

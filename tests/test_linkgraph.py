@@ -1,0 +1,79 @@
+"""Host link-graph extraction + integer PageRank."""
+
+from __future__ import annotations
+
+from intelligent_document_processing_on_aws_spark.operators.linkgraph import (
+    SCALE,
+    extract_links,
+    pagerank_hosts,
+)
+
+
+def test_extract_links_absolute_cross_host_only(spark):
+    html = (
+        b'<a href="https://other.example/page">x</a>'
+        b"<a href='HTTP://Second.Example:8080/a'>y</a>"
+        b'<a href="/relative/path">rel</a>'
+        b'<a href="#frag">frag</a>'
+        b'<a href="https://self.example/again">self</a>'
+        b'<link href="https://assets.example/s.css">'
+    )
+    pages = spark.createDataFrame(
+        [("https://self.example/index", html)], "url string, html binary"
+    )
+    got = {
+        (r["src_host"], r["dst_host"])
+        for r in extract_links(pages).collect()
+    }
+    assert got == {
+        ("self.example", "other.example"),
+        ("self.example", "second.example"),  # lowercased, port stripped
+        ("self.example", "assets.example"),
+    }
+
+
+def _py_pagerank(edges, n_iter=3):
+    edges = sorted(set(edges))
+    hosts = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(hosts)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {h: SCALE // n for h in hosts}
+    teleport = ((SCALE * 3) // 20) // n
+    for _ in range(n_iter):
+        incoming = {h: 0 for h in hosts}
+        for s, d in edges:
+            incoming[d] += rank[s] // deg[s]
+        rank = {h: teleport + (17 * incoming[h]) // 20 for h in hosts}
+    return rank
+
+
+def test_pagerank_matches_pure_python_and_is_deterministic(spark):
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "a"), ("e", "c"),  # e dangles into c
+        ("a", "b"),  # duplicate edge must collapse
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r["host"]: r["rank"] for r in pagerank_hosts(df, 3).collect()}
+    assert got == _py_pagerank(edges)
+    # hub 'c' outranks the dangling leaf 'e'
+    assert got["c"] > got["e"]
+    # bit-stable under repartitioning (integer arithmetic is order-free)
+    got2 = {
+        r["host"]: r["rank"]
+        for r in pagerank_hosts(df.repartition(5), 3).collect()
+    }
+    assert got2 == got
+
+
+def test_pagerank_plan_no_python(spark):
+    df = spark.createDataFrame(
+        [("a", "b")], "src_host string, dst_host string")
+    plan = (
+        pagerank_hosts(df, 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
