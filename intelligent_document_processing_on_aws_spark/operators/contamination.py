@@ -168,3 +168,51 @@ def decontaminate(
     return corpus.join(
         dirty, corpus[doc_id_col] == dirty["__cid"], "left_anti"
     )
+
+
+def eval_gram_key_list(
+    evals: DataFrame, n: int = DEFAULT_N
+) -> list[int]:
+    """The eval set's distinct gram keys as a plain list — a bounded
+    collect (eval sets are small by definition; this is the same
+    boundedness argument as broadcast in contamination_report)."""
+    return [
+        r["gram_key"]
+        for r in eval_gram_keys(evals, n).select("gram_key")
+        .distinct().collect()
+    ]
+
+
+def decontaminate_stream(
+    corpus: DataFrame,
+    evals,
+    n: int = DEFAULT_N,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming-compatible decontamination: a pure MAP-SIDE filter.
+
+    The batch ``decontaminate`` derives its drop set from the corpus
+    itself, which a stream cannot anti-join against (stream-stream
+    anti joins are unsupported, and would need unbounded state anyway).
+    Here the eval gram keys are collected ONCE into an array literal
+    and each document checks ``arrays_overlap`` between its own native
+    gram-key array and that literal — zero state, zero shuffle, append
+    mode; also the cheapest batch shape when the eval set is tiny.
+
+    ``evals`` is either an eval DataFrame or a pre-collected key list
+    (so a long-running stream can reuse one collection).
+    """
+    keys = (
+        evals if isinstance(evals, list) else eval_gram_key_list(evals, n)
+    )
+    toks = _token_array(F.col(text_col))
+    gram_keys = F.transform(
+        _gram_windows(toks, n), lambda g: F.xxhash64(g)
+    )
+    if not keys:
+        return corpus
+    return corpus.where(
+        ~F.arrays_overlap(
+            gram_keys, F.lit(keys).cast("array<bigint>")
+        )
+    )
