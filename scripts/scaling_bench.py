@@ -570,25 +570,37 @@ host-clustered. This bench measures the conservative salted path.
 
 ### r5 query-suite additions + three-scale oracle sweep
 
-Ten new oracle-backed queries joined the suite this round —
-`doc_word_stats`, `badword_filter`, `domain_stats`, `domain_filter`
-(domain-level curation + Gopher word gates), `incremental_dedup`
-(Bloom-prefiltered batch-vs-corpus, exact), `mojibake_repair`,
-`substring_dedup` (k-token-window exact-substring span removal),
-`bm25_search`, `script_profile` and `doc_percentiles` (exact
-percentile parity: Spark `percentile` vs DuckDB `quantile_cont`). Representative sf0.1 local[32]
-timings (best of 3, same noisy-VM caveats as the headline suite):
-`substring_dedup` 3.0 s, `incremental_dedup` 1.6 s, `mojibake_repair`
-0.6 s; the rest are sub-second to ~2 s.
+Twenty-eight new oracle-backed queries joined the suite this round,
+taking it from 49 (r4 gate) to 77 — web curation (`doc_word_stats`,
+`badword_filter`, `domain_stats`/`domain_filter`, `mojibake_repair`,
+`script_profile`, `doc_percentiles`), dedup depth (`incremental_dedup`
+Bloom-prefiltered batch-vs-corpus, `substring_dedup` k-token-window
+span removal, `line_dedup`), retrieval + models (`bm25_search`,
+`lang_classifier`, `lm_perplexity`), ingestion + multimodal
+(`warc_extract`, `image_resize{,_jpeg,_multi,_webp}`,
+`audio_features`, `media_meta_av`), and the training-data tail
+(`decontamination` GPT-3 13-gram rule, `stratified_sample` +
+`temperature_mix` deterministic mix budgeting, `bpe_tokenize`
+corpus-trained tokenizer with a recursive-CTE oracle, `host_pagerank`
+integer fixed-point power iteration, `sequence_packing` GPT-style
+concatenate-then-chop, `robots_gate` RFC 9309 crawl-permission gate,
+and `corpus_curated_sampled` — the COMPLETE production path as one
+oracled query: funnel -> 13-gram decontamination -> temperature-mix
+budget sample, mirroring `jobs/curate.py --decontaminate
+--sample-budget` end to end). Representative sf0.1 local[32] timings (best
+of 3, same noisy-VM caveats as the headline suite): `substring_dedup`
+3.0 s, `incremental_dedup` 1.6 s, `mojibake_repair` 0.6 s; the rest
+are sub-second to ~2 s.
 
 The full queries()/oracle_sql() surface was swept at ALL THREE committed
 scales this round (`scripts/check_oracles.py --json-out`, artifacts
-`CORRECTNESS_SWEEP_r05c_sf{0.001,0.01,0.1}.json`): **68/68 queries green
-at every scale**, including the threshold-robust `dedup_minhash_lsh`
-oracle (guard band around J=0.800000) that closed the r4 verdict's only
-non-green cell, and a trunc6 operand-order fix in `mean_word_length`
-that ONLY the sf0.1 sweep exposed (mean exactly 4.1 quantizing one ulp
-low) — the sweep is doing its job as a scale gate.
+`CORRECTNESS_SWEEP_r05c_sf{0.001,0.01,0.1}.json`): **77/77 queries green
+at every scale** — every query has a FULL value-hash oracle, none
+degrade to rows-only — including the threshold-robust
+`dedup_minhash_lsh` oracle (guard band around J=0.800000) that closed
+the r4 verdict's only non-green cell, and a trunc6 operand-order fix in
+`mean_word_length` that ONLY the sf0.1 sweep exposed (mean exactly 4.1
+quantizing one ulp low) — the sweep is doing its job as a scale gate.
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
