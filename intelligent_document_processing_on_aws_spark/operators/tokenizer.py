@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels.bpe import encode_word, make_ranks, top_words, train_merges
+from ..kernels.bpe import EOW, encode_word, make_ranks, top_words, train_merges
 
 DEFAULT_MAX_WORDS = 50_000
 
@@ -117,6 +117,23 @@ def encode_distinct_words(
     return words.mapInPandas(
         run, "word string, subtokens array<string>, n_subtokens int"
     )
+
+
+def bpe_decode(encoded: DataFrame, bpe_col: str = "bpe_text"):
+    """Native-columnar inverse of bpe_encode's bpe_text: drop the
+    inter-subtoken spaces, turn each ``</w>`` end-of-word marker back
+    into a word boundary, trim the trailing one.
+
+    Exact inverse of encode up to the corpus tokenization convention:
+    ``bpe_decode(bpe_encode(text)) == ' '.join(tokens(text))`` (the
+    lowercased single-space-joined word sequence) for any corpus whose
+    words cannot contain the literal marker string — guaranteed here
+    because words are whitespace-split and the marker is only ever
+    introduced by word_symbols.  Returns a Column; zero Python, zero
+    shuffles — composes into whatever plan the caller is building.
+    """
+    joined = F.replace(F.col(bpe_col), F.lit(" "), F.lit(""))
+    return F.rtrim(F.replace(joined, F.lit(EOW), F.lit(" ")))
 
 
 def bpe_encode(

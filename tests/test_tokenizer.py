@@ -111,3 +111,51 @@ def test_bpe_encode_plan_arrow_not_row_python(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert plan.count("MapInPandas") == 1  # encode over distinct words only
+
+
+def test_bpe_decode_inverts_encode_to_normalized_text(spark):
+    from pyspark.sql import functions as F
+
+    from intelligent_document_processing_on_aws_spark.operators.tokenizer import (
+        bpe_decode,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower"),
+         (2, "  Mixed   CASE\twith\nodd   spacing "),
+         (3, "unseen-token punct.! 123"),
+         (4, None),
+         (5, "")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=6)
+    enc = bpe_encode(docs, merges)
+    got = {
+        r["doc_id"]: r["decoded"]
+        for r in enc.select(
+            "doc_id", bpe_decode(enc).alias("decoded")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["norm"]
+        for r in docs.select(
+            "doc_id",
+            F.array_join(
+                F.filter(
+                    F.split(F.lower(F.coalesce("text", F.lit(""))), r"\s+"),
+                    lambda t: t != "",
+                ),
+                " ",
+            ).alias("norm"),
+        ).collect()
+    }
+    assert got == want
+    assert got[4] == "" and got[5] == ""
+    # decode is native columnar: no Python eval beyond the encode kernel
+    plan = (
+        enc.select(bpe_decode(enc).alias("d"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
