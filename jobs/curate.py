@@ -104,6 +104,12 @@ def main() -> int:
                     help="remove duplicated >=K-token spans from the "
                          "curated corpus (0 = off)")
     ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--checkpoint-dir", default=None, metavar="DIR_OR_URI",
+                    help="reliable checkpoint dir (HDFS/S3/local) for the "
+                         "iterative near-dup stages; default keeps the "
+                         "faster executor-local localCheckpoint (a lost "
+                         "executor then kills the job — use a durable dir "
+                         "for multi-hour runs)")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -196,8 +202,10 @@ def main() -> int:
               f"degenerate band buckets (> {DEFAULT_MAX_BUCKET} docs each)",
               file=sys.stderr)
 
-    pairs = minhash_lsh_pairs(survivors, threshold=args.near_dup_threshold)
-    groups = duplicate_groups(survivors, pairs)
+    pairs = minhash_lsh_pairs(survivors, threshold=args.near_dup_threshold,
+                              checkpoint_dir=args.checkpoint_dir)
+    groups = duplicate_groups(survivors, pairs,
+                              checkpoint_dir=args.checkpoint_dir)
     kept = survivors.join(
         groups.where(~F.col("is_duplicate")).select("doc_id"), "doc_id"
     )
