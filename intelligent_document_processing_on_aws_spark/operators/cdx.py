@@ -1,0 +1,131 @@
+"""Common-Crawl CDXJ index scan, selection, and fetch planning.
+
+Common Crawl publishes a CDXJ capture index (one text line per capture:
+``<urlkey> <14-digit timestamp> <json>``, the format served by its
+cc-index files and CDX API).  A web-scale extraction run never parses
+every WARC byte — it selects captures from this index first (status,
+mime, language, crawl partition) and then range-fetches exactly the
+selected records.  This module is that front door, Spark-first:
+
+- **parse_cdxj** is pure codegen: the two space-delimited head fields
+  split natively (the JSON tail may itself contain spaces — the cut is
+  positional, after the second delimiter), and the JSON object parses
+  with ``from_json`` (Jackson, JVM-side) — zero Python, zero shuffles,
+  so index parsing costs exactly the index scan.  Malformed JSON tails
+  or truncated lines degrade to ``valid = false`` rows (never a job
+  crash) so selection can drop-and-audit them.
+- **cdx_select** is a codegen filter over the parsed columns (status /
+  mime allowlists, valid only).  At 100 TB of index this is the same
+  shape as any scan-stage filter: no Exchange, AQE-coalesced output.
+- **fetch_plan** turns a selection into the I/O-optimal fetch order:
+  one hash Exchange on the WARC filename, offsets sorted WITHIN each
+  partition — every task then issues sequential ranged reads against
+  one archive file instead of random seeks across thousands.
+
+Reference scope: the reference (GenAIIDP) ingests documents one S3
+object at a time (`lib/idp_common_pkg/idp_common/s3/__init__.py`); a
+capture-index selection stage is part of the Common-Crawl-scale
+ingestion surface this engine adds (pairs with kernels/warc.py, which
+parses the fetched records).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# the JSON member set served by the cc-index CDXJ lines (all values are
+# JSON strings in the wire format; numeric casts happen after parse)
+CDX_JSON_SCHEMA = (
+    "url string, status string, mime string, digest string, "
+    "length string, offset string, filename string, languages string"
+)
+
+_PARSED_COLS = (
+    "urlkey", "ts", "url", "status", "mime", "digest",
+    "length", "offset", "filename", "languages", "valid",
+)
+
+
+def parse_cdxj(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """CDXJ text lines -> typed capture columns (+ ``valid`` flag).
+
+    Native split: ``substring_index`` isolates the urlkey and timestamp
+    head; the JSON tail starts one byte past the second delimiter, so
+    embedded spaces inside the JSON survive.  ``from_json`` (PERMISSIVE)
+    yields NULL for corrupt tails; rows whose tail fails to parse or
+    whose head is short come back ``valid = false`` with NULL fields.
+    """
+    l = F.col(line_col)
+    head2 = F.substring_index(l, " ", 2)
+    urlkey = F.substring_index(l, " ", 1)
+    ts = F.substring_index(head2, " ", -1)
+    tail = F.expr(
+        f"substring({line_col}, length(substring_index({line_col}, ' ', 2)) + 2)"
+    )
+    rec = F.from_json(tail, CDX_JSON_SCHEMA)
+    parsed = lines.select(
+        urlkey.alias("urlkey"),
+        ts.alias("ts"),
+        rec.alias("_r"),
+        # a well-formed line has at least "<k> <ts> {": the head must be
+        # strictly shorter than the line and the tail must parse to a
+        # record with a url (from_json gives an all-NULL struct on junk)
+        (
+            (F.length(head2) < F.length(l))
+            & rec.isNotNull()
+            & rec["url"].isNotNull()
+        ).alias("valid"),
+    )
+    return parsed.select(
+        "urlkey",
+        "ts",
+        F.col("_r.url").alias("url"),
+        F.col("_r.status").alias("status"),
+        F.col("_r.mime").alias("mime"),
+        F.col("_r.digest").alias("digest"),
+        F.col("_r.length").cast("bigint").alias("length"),
+        F.col("_r.offset").cast("bigint").alias("offset"),
+        F.col("_r.filename").alias("filename"),
+        F.col("_r.languages").alias("languages"),
+        "valid",
+    )
+
+
+def cdx_select(
+    parsed: DataFrame,
+    statuses: tuple[str, ...] = ("200",),
+    mimes: tuple[str, ...] | None = ("text/html",),
+    languages: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Capture selection: valid rows matching the allowlists.
+
+    ``languages`` matches CDXJ's comma-joined language member (a capture
+    counts if ANY of its listed languages is allowed).  Pure codegen —
+    at index scale this is a scan-stage filter, nothing more.
+    """
+    cond: Column = F.col("valid")
+    cond = cond & F.col("status").isin(*statuses)
+    if mimes is not None:
+        cond = cond & F.col("mime").isin(*mimes)
+    if languages is not None:
+        langs = F.split(F.coalesce(F.col("languages"), F.lit("")), ",")
+        cond = cond & F.arrays_overlap(
+            langs, F.array(*[F.lit(x) for x in languages])
+        )
+    return parsed.where(cond)
+
+
+def fetch_plan(
+    selected: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Order a selection for sequential ranged reads: one Exchange on
+    the archive filename, offsets sorted within each partition.  Every
+    downstream fetch task then walks one WARC file monotonically —
+    the access pattern S3/HTTP range readers are fastest at."""
+    parts = (
+        selected.repartition(num_partitions, "filename")
+        if num_partitions
+        else selected.repartition("filename")
+    )
+    return parts.sortWithinPartitions("filename", "offset")
