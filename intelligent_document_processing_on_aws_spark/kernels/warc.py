@@ -260,3 +260,113 @@ def decode_charset(payload: bytes, content_type: str | None) -> tuple[str, str]:
         return payload.decode(canonical), canonical
     except (UnicodeDecodeError, LookupError):
         return payload.decode("cp1252", errors="replace"), "cp1252"
+
+
+def iter_warc_members(data: bytes):
+    """Yield ``(offset, length, headers | None, body | None, err | None)``
+    per gzip member of a per-record-layout ``.warc.gz`` — the byte spans
+    a CDX index records and a ranged fetch re-reads.
+
+    ``offset``/``length`` delimit the COMPRESSED member inside the file,
+    so ``data[offset:offset + length]`` is a complete standalone gzip
+    stream: exactly the slice an HTTP range request (or a local seek)
+    retrieves, decodable by :func:`parse_member_bytes` with no other
+    context.  A member holding several records (legal, non-CC layout)
+    yields each record with the member's span.  Damage is isolated per
+    member (one error tuple, parsing resyncs on the next member).  Plain
+    non-gzip WARC input is indexed too: each record becomes one
+    pseudo-member spanning its raw bytes in the uncompressed buffer.
+    """
+    if data[:2] == b"\x1f\x8b":
+        pos = 0
+        n = len(data)
+        while pos < n:
+            d = zlib.decompressobj(wbits=31)
+            try:
+                member = d.decompress(data[pos:]) + d.flush()
+                if not d.eof:
+                    raise WarcError(f"truncated gzip member at offset {pos}")
+            except (zlib.error, WarcError) as e:
+                yield pos, n - pos, None, None, f"WarcError: {e}"[:200]
+                return                              # cannot resync past damage
+            consumed = (n - pos) - len(d.unused_data)
+            if consumed <= 0:
+                yield pos, n - pos, None, None, \
+                    "WarcError: gzip member consumed no input"
+                return
+            try:
+                for headers, body in _iter_plain(member):
+                    yield pos, consumed, headers, body, None
+            except WarcError as e:
+                yield pos, consumed, None, None, f"WarcError: {e}"[:200]
+            pos += consumed
+        return
+    if not data.startswith(b"WARC/"):
+        yield 0, len(data), None, None, \
+            "WarcError: not a WARC payload (no gzip magic or WARC/ line)"
+        return
+    # plain layout: spans are record extents in the uncompressed stream
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        start = pos
+        try:
+            headers, body_start = _parse_header_block(data, pos)
+            length = int(headers["content-length"])
+            body = data[body_start:body_start + length]
+            if len(body) != length:
+                raise WarcError(
+                    f"truncated record body: {len(body)} < {length}")
+            pos = body_start + length
+            if data[pos:pos + 4] != _CRLF + _CRLF:
+                raise WarcError("missing record terminator")
+            pos += 4
+            yield start, pos - start, headers, body, None
+        except (WarcError, KeyError, ValueError) as e:
+            yield start, n - start, None, None, f"WarcError: {e}"[:200]
+            return                                  # no boundaries to resync on
+
+
+def parse_member_bytes(chunk: bytes):
+    """Decode ONE ranged-fetched member slice -> (headers, body) records.
+
+    Accepts what iter_warc_members spans denote: a standalone gzip
+    member, or a plain record slice.  Raises WarcError on damage (the
+    fetcher turns that into an error row — a corrupt span must never
+    kill the fetch task)."""
+    if chunk[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            buf = d.decompress(chunk) + d.flush()
+        except zlib.error as e:
+            raise WarcError(f"bad gzip member in fetched range: {e}") from e
+        if not d.eof:
+            raise WarcError("truncated gzip member in fetched range")
+        return list(_iter_plain(buf))
+    return list(_iter_plain(chunk))
+
+
+def surt_urlkey(url: str) -> str:
+    """Canonical SURT-form url key (the CDX sort key Common Crawl's
+    index uses): scheme dropped, host lowercased + dot-reversed with
+    commas, default ports stripped, ')/'-joined path+query lowercased.
+    Simplified relative to full SURT (no session-param stripping) but
+    deterministic and order-compatible for same-host grouping."""
+    u = (url or "").strip()
+    for pfx in ("https://", "http://"):
+        if u.lower().startswith(pfx):
+            u = u[len(pfx):]
+            break
+    host, sep, rest = u.partition("/")
+    host = host.lower()
+    if "@" in host:                                 # userinfo never keys
+        host = host.rpartition("@")[2]
+    for port in (":80", ":443"):
+        if host.endswith(port):
+            host = host[: -len(port)]
+    parts = [p for p in host.split(".") if p]
+    return ",".join(reversed(parts)) + ")/" + (rest.lower() if sep else "")

@@ -129,3 +129,157 @@ def warc_pages(spark: SparkSession, path: str) -> DataFrame:
             F.lit(None).cast("string").alias("lang"),
         )
     )
+
+
+CDX_SCHEMA = T.StructType(
+    [
+        T.StructField("urlkey", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("filename", T.StringType()),
+    ]
+)
+
+
+def build_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """CDX index GENERATION: one pass over `.warc.gz` files -> one row
+    per fetchable response capture, Common Crawl cc-index column
+    conventions (SURT urlkey, 14-digit timestamp, sha1-b32 payload
+    digest, COMPRESSED member (offset, length) span, absolute file
+    path in `filename` so fetch_records can re-open it).
+
+    Same 100-TB shape as read_warc: the file is the parallel unit, the
+    index is a map-only projection of the archive — build once, then
+    every later selection (operators/cdx.cdx_select) reads the small
+    index instead of 100 TB of WARC.  Non-response records and damaged
+    members are not indexed (they are auditable via read_warc; an index
+    row must denote a fetchable span)."""
+    import base64
+    import hashlib
+
+    from ..kernels.warc import (
+        WarcError,
+        iter_warc_members,
+        parse_http_response,
+        surt_urlkey,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path_val, content in zip(pdf["path"], pdf["content"]):
+                fname = str(path_val)
+                if fname.startswith("file:"):
+                    fname = fname[len("file:"):]
+                rows = {f.name: [] for f in CDX_SCHEMA.fields}
+                for off, ln, headers, body, err in iter_warc_members(
+                        bytes(content)):
+                    if err is not None or headers is None:
+                        continue
+                    if headers.get("warc-type") != "response":
+                        continue
+                    try:
+                        status, http_headers, payload = \
+                            parse_http_response(body)
+                    except WarcError:
+                        continue
+                    url = headers.get("warc-target-uri") or ""
+                    ts = "".join(
+                        c for c in (headers.get("warc-date") or "")
+                        if c.isdigit())[:14]
+                    mime = (http_headers.get("content-type") or "").split(
+                        ";")[0].strip().lower() or None
+                    digest = "sha1:" + base64.b32encode(
+                        hashlib.sha1(payload).digest()).decode()
+                    rows["urlkey"].append(surt_urlkey(url))
+                    rows["ts"].append(ts)
+                    rows["url"].append(url)
+                    rows["status"].append(str(status))
+                    rows["mime"].append(mime)
+                    rows["digest"].append(digest)
+                    rows["length"].append(ln)
+                    rows["offset"].append(off)
+                    rows["filename"].append(fname)
+                if rows["urlkey"]:
+                    yield pd.DataFrame(rows)
+
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+    return files.mapInPandas(run, CDX_SCHEMA)
+
+
+def fetch_records(selected: DataFrame, emit_text: bool = True) -> DataFrame:
+    """Ranged fetch of SELECTED captures only — the Common-Crawl access
+    pattern: never rescan the archive; read exactly the (offset, length)
+    spans the index selection names.
+
+    Input is any cdx_select output (columns filename/offset/length at
+    minimum).  The plan is operators/cdx.fetch_plan's: one Exchange on
+    the archive filename, offsets sorted within partitions, so each
+    task walks every file monotonically — locally a seek+read per span,
+    on S3 the same loop issues sequential HTTP range requests.  Each
+    span decompresses independently (per-record gzip members), which is
+    the whole point of the layout.  A damaged span yields one error row,
+    never a task failure."""
+    from ..kernels.warc import (
+        WarcError,
+        decode_charset,
+        parse_http_response,
+        parse_member_bytes,
+    )
+    from ..operators.cdx import fetch_plan
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        handle = {"name": None, "f": None}
+
+        def read_span(fname: str, off: int, ln: int) -> bytes:
+            if handle["name"] != fname:             # sorted walk: one open
+                if handle["f"] is not None:
+                    handle["f"].close()
+                handle["name"], handle["f"] = fname, open(fname, "rb")
+            handle["f"].seek(off)
+            return handle["f"].read(ln)
+
+        for pdf in batches:
+            rows = {f.name: [] for f in WARC_SCHEMA.fields}
+
+            def emit(**kw):
+                for f in WARC_SCHEMA.fields:
+                    rows[f.name].append(kw.get(f.name))
+
+            for fname, off, ln in zip(
+                    pdf["filename"], pdf["offset"], pdf["length"]):
+                base = os.path.basename(str(fname))
+                try:
+                    chunk = read_span(str(fname), int(off), int(ln))
+                    for headers, body in parse_member_bytes(chunk):
+                        if headers.get("warc-type") != "response":
+                            continue
+                        status, http_headers, payload = \
+                            parse_http_response(body)
+                        ct = http_headers.get("content-type")
+                        text = charset = None
+                        if emit_text:
+                            text, charset = decode_charset(payload, ct)
+                        emit(
+                            warc_file=base,
+                            record_id=headers.get("warc-record-id"),
+                            record_type="response",
+                            url=headers.get("warc-target-uri"),
+                            warc_date=headers.get("warc-date"),
+                            status=status, content_type=ct,
+                            charset=charset, text=text,
+                        )
+                except (WarcError, OSError) as e:
+                    emit(warc_file=base, error=f"{type(e).__name__}: {e}"[:200])
+            if handle["f"] is not None:
+                handle["f"].close()
+                handle["name"], handle["f"] = None, None
+            if rows["warc_file"]:
+                yield pd.DataFrame(rows)
+
+    return fetch_plan(selected).mapInPandas(run, WARC_SCHEMA)

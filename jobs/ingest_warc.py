@@ -45,6 +45,14 @@ def main() -> int:
     ap.add_argument("--raw", action="store_true",
                     help="write the parsed record table (with error rows) "
                          "instead of running extraction")
+    ap.add_argument("--cdx-out", default=None, metavar="DIR",
+                    help="also build the CDX capture index (one scan, "
+                         "cc-index columns incl. ranged-fetch spans) and "
+                         "write it as parquet here")
+    ap.add_argument("--from-cdx", default=None, metavar="INDEX_PARQUET",
+                    help="skip the archive scan: select status-200 "
+                         "captures from this CDX index and ranged-fetch "
+                         "ONLY their (offset, length) spans")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -53,7 +61,22 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
-    records = read_warc(spark, args.input)
+    if args.cdx_out:
+        from intelligent_document_processing_on_aws_spark.sources.warc import build_cdx
+
+        idx = build_cdx(spark, args.input)
+        idx.write.mode("overwrite").parquet(args.cdx_out)
+        n_idx = spark.read.parquet(args.cdx_out).count()
+        print(json.dumps({"cdx_rows": n_idx, "cdx_out": args.cdx_out}))
+
+    if args.from_cdx:
+        from intelligent_document_processing_on_aws_spark.operators.cdx import cdx_select
+        from intelligent_document_processing_on_aws_spark.sources.warc import fetch_records
+
+        idx = spark.read.parquet(args.from_cdx).withColumn("valid", F.lit(True))
+        records = fetch_records(cdx_select(idx, statuses=("200",), mimes=None))
+    else:
+        records = read_warc(spark, args.input)
     if args.raw:
         records.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)
@@ -71,7 +94,19 @@ def main() -> int:
         }))
         return 0
 
-    pages = warc_pages(spark, args.input)
+    if args.from_cdx:
+        pages = (
+            records.where(F.col("error").isNull() & (F.col("status") == 200))
+            .select(
+                F.col("url"),
+                F.to_timestamp("warc_date").alias("warc_ts"),
+                F.encode("text", "utf-8").alias("html"),
+                F.col("text"),
+                F.lit(None).cast("string").alias("lang"),
+            )
+        )
+    else:
+        pages = warc_pages(spark, args.input)
     result = extract_pages(pages, salt_partitions=args.salt_partitions)
     result.write.mode("overwrite").partitionBy("content_type") \
         .parquet(args.output)

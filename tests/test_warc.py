@@ -211,3 +211,118 @@ def test_warc_pages_feed_extraction_golden(spark):
             assert r.content_type == page["content_type"]
             # lang is crawl-supplied metadata the WARC path doesn't carry
             assert r.lang is None
+
+
+# ---------------------------------------------------------------------------
+# CDX index generation + ranged fetch (build_cdx / fetch_records)
+# ---------------------------------------------------------------------------
+
+
+def test_iter_warc_members_spans_are_standalone_gzip_members():
+    from intelligent_document_processing_on_aws_spark.kernels.warc import (
+        iter_warc_members,
+        parse_member_bytes,
+    )
+
+    data = open("fixtures_data/warc/cc-00000.warc.gz", "rb").read()
+    members = list(iter_warc_members(data))
+    # the fixtures plant corrupt records: those yield error tuples but
+    # never break the walk
+    errs = [e for *_, e in members if e]
+    assert members and len(errs) == 2 and all("WARC version" in e
+                                              for e in errs)
+    # spans tile the file: sorted, non-overlapping, covering every byte
+    spans = sorted(set((o, ln) for o, ln, *_ in members))
+    pos = 0
+    for o, ln in spans:
+        assert o == pos
+        pos += ln
+    assert pos == len(data)
+    # each clean span re-parses standalone to the identical record
+    for off, ln, headers, body, err in members:
+        if err is not None:
+            continue
+        got = parse_member_bytes(data[off:off + ln])
+        assert [h.get("warc-record-id") for h, _ in got] == \
+            [headers.get("warc-record-id")]
+
+
+def test_build_cdx_then_fetch_matches_full_scan(spark):
+    from pyspark.sql import functions as F
+
+    from intelligent_document_processing_on_aws_spark.operators.cdx import (
+        cdx_select,
+    )
+    from intelligent_document_processing_on_aws_spark.sources.warc import (
+        build_cdx,
+        fetch_records,
+        read_warc,
+    )
+
+    idx = build_cdx(spark, "fixtures_data/warc")
+    sel = cdx_select(
+        idx.withColumn("valid", F.lit(True)), statuses=("200",), mimes=None
+    )
+    fetched = {
+        r["url"]: r
+        for r in fetch_records(sel).collect()
+    }
+    full = {
+        r["url"]: r
+        for r in read_warc(spark, "fixtures_data/warc")
+        .where((F.col("status") == 200) & F.col("error").isNull())
+        .collect()
+    }
+    assert set(fetched) == set(full)
+    for url, r in full.items():
+        assert fetched[url]["text"] == r["text"], url
+        assert fetched[url]["charset"] == r["charset"], url
+
+
+def test_fetch_records_reads_only_selected_spans(spark):
+    from pyspark.sql import functions as F
+
+    from intelligent_document_processing_on_aws_spark.sources.warc import (
+        build_cdx,
+        fetch_records,
+    )
+
+    idx = build_cdx(spark, "fixtures_data/warc")
+    one = idx.where(F.col("status") == "200").orderBy("urlkey").limit(1)
+    want = one.collect()[0]
+    got = fetch_records(one).collect()
+    assert len(got) == 1
+    assert got[0]["url"] == want["url"]
+
+
+def test_fetch_records_damaged_span_degrades_to_error_row(spark, tmp_path):
+    from intelligent_document_processing_on_aws_spark.sources.warc import (
+        fetch_records,
+    )
+
+    src = open("fixtures_data/warc/cc-00000.warc.gz", "rb").read()
+    p = tmp_path / "x.warc.gz"
+    p.write_bytes(src)
+    sel = spark.createDataFrame(
+        [(str(p), 3, 40)],  # mid-member garbage span
+        "filename string, offset long, length long",
+    )
+    rows = fetch_records(sel).collect()
+    assert len(rows) == 1
+    assert rows[0]["error"] and rows[0]["text"] is None
+
+
+def test_build_cdx_digest_and_urlkey_shape(spark):
+    import re as _re
+
+    from intelligent_document_processing_on_aws_spark.sources.warc import (
+        build_cdx,
+    )
+
+    rows = build_cdx(spark, "fixtures_data/warc").collect()
+    assert rows
+    for r in rows:
+        assert _re.fullmatch(r"sha1:[A-Z2-7]{32}", r["digest"])
+        assert ")/" in r["urlkey"]
+        assert _re.fullmatch(r"\d{14}", r["ts"])
+        assert r["length"] > 0 and r["offset"] >= 0
