@@ -30,7 +30,7 @@ the scan: zero Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .domains import url_host
@@ -127,3 +127,81 @@ def pagerank_hosts(
             ).alias("rank"),
         )
     return ranks
+
+
+_ANCHOR_RE = r'(?i)<a\s[^>]*href="([^"#]+)"[^>]*>([^<]*)</a>'
+
+
+def anchor_pairs(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(src_host, dst_host, anchor) triples from ``<a>`` elements.
+
+    The anchor TEXT is the classic off-page description signal (link
+    text describes the target better than the target's own page —
+    the query-independent relevance/quality feature web-scale corpora
+    derive from the link graph).  Same native shape as extract_links:
+    two regexp_extract_all passes over the scan (group 1 = href,
+    group 2 = inner text), zipped and exploded; only absolute
+    cross-host http(s) targets survive.  No dedup here — each anchor
+    occurrence is one vote.
+    """
+    h = F.col(html_col).cast("string")
+    zipped = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(_ANCHOR_RE), 1).alias("href"),
+        F.regexp_extract_all(h, F.lit(_ANCHOR_RE), 2).alias("anchor"),
+    )
+    src = url_host(F.col(url_col))
+    pair = F.explode(zipped).alias("p")
+    return (
+        pages.select(src.alias("src_host"), pair)
+        .select("src_host", F.col("p.href").alias("href"),
+                F.col("p.anchor").alias("anchor"))
+        .where(F.col("href").rlike(r"(?i)^https?://"))
+        .select("src_host", url_host(F.col("href")).alias("dst_host"),
+                "anchor")
+        .where(
+            F.col("src_host").isNotNull() & F.col("dst_host").isNotNull()
+            & (F.col("src_host") != "") & (F.col("dst_host") != "")
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+    )
+
+
+def anchor_terms(
+    pages: DataFrame,
+    k: int = 3,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Top-k anchor terms per target host: (dst_host, term, n_anchors).
+
+    Terms are the corpus tokenization convention (lowercase whitespace
+    split); ranking is (count desc, term asc) — fully deterministic.
+    One hash Exchange on (dst_host, term) for the count, one on
+    dst_host for the top-k window; both keys are bounded by the host
+    vocabulary, not the corpus, and the count agg is map-side partial.
+    """
+    terms = (
+        anchor_pairs(pages, url_col=url_col, html_col=html_col)
+        .select(
+            "dst_host",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("anchor"), r"\s+"), lambda t: t != ""
+                )
+            ).alias("term"),
+        )
+        .groupBy("dst_host", "term")
+        .agg(F.count(F.lit(1)).alias("n_anchors"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_anchors").desc(), F.col("term").asc()
+    )
+    return (
+        terms.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -570,8 +570,8 @@ host-clustered. This bench measures the conservative salted path.
 
 ### r5 query-suite additions + three-scale oracle sweep
 
-Thirty new oracle-backed queries joined the suite this round,
-taking it from 49 (r4 gate) to 79 — web curation (`doc_word_stats`,
+Thirty-one new oracle-backed queries joined the suite this round,
+taking it from 49 (r4 gate) to 80 — web curation (`doc_word_stats`,
 `badword_filter`, `domain_stats`/`domain_filter`, `mojibake_repair`,
 `script_profile`, `doc_percentiles`), dedup depth (`incremental_dedup`
 Bloom-prefiltered batch-vs-corpus, `substring_dedup` k-token-window
@@ -586,7 +586,9 @@ with native from_json parse + malformed-line degrade,
 corpus-trained tokenizer with a recursive-CTE oracle, `bpe_roundtrip`
 (encode->decode losslessness pinned against a BPE-free oracle),
 `host_pagerank`
-integer fixed-point power iteration, `sequence_packing` GPT-style
+integer fixed-point power iteration, `anchor_text` top-k anchor-term
+aggregation per target host (the off-page description signal),
+`sequence_packing` GPT-style
 concatenate-then-chop, `robots_gate` RFC 9309 crawl-permission gate,
 and `corpus_curated_sampled` — the COMPLETE production path as one
 oracled query: funnel -> 13-gram decontamination -> temperature-mix
@@ -598,7 +600,7 @@ are sub-second to ~2 s.
 
 The full queries()/oracle_sql() surface was swept at ALL THREE committed
 scales this round (`scripts/check_oracles.py --json-out`, artifacts
-`CORRECTNESS_SWEEP_r05c_sf{{0.001,0.01,0.1}}.json`): **79/79 queries green
+`CORRECTNESS_SWEEP_r05c_sf{{0.001,0.01,0.1}}.json`): **80/80 queries green
 at every scale** — every query has a FULL value-hash oracle, none
 degrade to rows-only — including the threshold-robust
 `dedup_minhash_lsh` oracle (guard band around J=0.800000) that closed

@@ -77,3 +77,41 @@ def test_pagerank_plan_no_python(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_anchor_pairs_and_terms(spark):
+    from pyspark.sql import functions as F
+
+    from intelligent_document_processing_on_aws_spark.operators.linkgraph import (
+        anchor_pairs,
+        anchor_terms,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/1",
+             '<a href="https://b.com/x">Great Site</a>'
+             '<a href="/rel">relative skipped</a>'
+             '<a href="https://a.com/self">same host skipped</a>'
+             '<a href="https://b.com/y">great again</a>'),
+            ("https://c.com/2",
+             '<A HREF="https://b.com/z">GREAT</A>'),   # case-insensitive
+            ("https://d.com/3", "<p>no links</p>"),
+        ],
+        "url string, html string",
+    )
+    pairs = anchor_pairs(pages).collect()
+    assert sorted((r["src_host"], r["dst_host"], r["anchor"])
+                  for r in pairs) == [
+        ("a.com", "b.com", "Great Site"),
+        ("a.com", "b.com", "great again"),
+        ("c.com", "b.com", "GREAT"),
+    ]
+    terms = anchor_terms(pages, k=2).collect()
+    got = [(r["dst_host"], r["term"], r["n_anchors"]) for r in terms]
+    # 'great' appears 3x (case-folded); tie between 'again'/'site' at 1
+    # resolves term-asc -> 'again'
+    assert sorted(got) == [("b.com", "again", 1), ("b.com", "great", 3)]
+    # native end to end: no Python eval anywhere in the plan
+    plan = anchor_terms(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
