@@ -88,6 +88,16 @@ def read_warc(spark: SparkSession, path: str,
                         "url": headers.get("warc-target-uri"),
                         "warc_date": headers.get("warc-date"),
                     }
+                    if rtype == "conversion":
+                        # WET records: the body IS the text payload (no
+                        # HTTP envelope); Content-Type is a WARC header
+                        ct = headers.get("content-type")
+                        text = charset = None
+                        if emit_text:
+                            text, charset = decode_charset(body, ct)
+                        emit(content_type=ct, charset=charset, text=text,
+                             **common)
+                        continue
                     if rtype != "response":
                         emit(**common)
                         continue
@@ -283,3 +293,61 @@ def fetch_records(selected: DataFrame, emit_text: bool = True) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return fetch_plan(selected).mapInPandas(run, WARC_SCHEMA)
+
+
+def write_wet(
+    extracted: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    date_col: str | None = None,
+    num_files: int | None = None,
+) -> int:
+    """Write extracted text as WET files (`.warc.gz` of WARC/1.0
+    ``conversion`` records, per-record gzip members — the format Common
+    Crawl distributes extracted text in, readable back by read_warc /
+    iter_warc_members / build_cdx like any other archive).
+
+    Distributed sink shape: each task serializes its own partition into
+    ONE ``wet-<partition>.warc.gz`` (the standard custom-binary-sink
+    pattern — parquet/Iceberg writers are file-per-task the same way).
+    Rows are hash-partitioned by url and SORTED by url within each
+    partition, and every record serializes byte-deterministically
+    (uuid5 ids, MTIME=0 gzip), so the same input at the same
+    ``num_files`` produces identical files — diffable, resumable
+    output.  Returns the number of records written."""
+    from ..kernels.warc import build_conversion_record, gzip_member
+
+    n = num_files or extracted.rdd.getNumPartitions()
+    cols = [F.col(url_col).alias("url"),
+            F.col(text_col).alias("text"),
+            (F.col(date_col) if date_col else F.lit(None))
+            .cast("string").alias("date")]
+    rows = (
+        extracted.select(*cols)
+        .repartition(n, "url")
+        .sortWithinPartitions("url")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(it):
+        import os as _os
+
+        f = None
+        pid = count = 0
+        for r in it:
+            if f is None:                           # lazy: skip empty parts
+                from pyspark import TaskContext
+                pid = TaskContext.get().partitionId()
+                f = open(_os.path.join(out_dir, f".wet-{pid:05d}.tmp"), "wb")
+            f.write(gzip_member(build_conversion_record(
+                r["url"], r["text"], r["date"] or "1970-01-01T00:00:00Z")))
+            count += 1
+        if f is not None:
+            f.close()
+            _os.replace(                            # atomic publish
+                _os.path.join(out_dir, f".wet-{pid:05d}.tmp"),
+                _os.path.join(out_dir, f"wet-{pid:05d}.warc.gz"))
+        yield count
+
+    return sum(rows.rdd.mapPartitions(write_part).collect())

@@ -49,6 +49,10 @@ def main() -> int:
                     help="also build the CDX capture index (one scan, "
                          "cc-index columns incl. ranged-fetch spans) and "
                          "write it as parquet here")
+    ap.add_argument("--wet-out", default=None, metavar="DIR",
+                    help="also write the extracted text as WET files "
+                         "(WARC conversion records, per-record gzip "
+                         "members, byte-deterministic)")
     ap.add_argument("--from-cdx", default=None, metavar="INDEX_PARQUET",
                     help="skip the archive scan: select status-200 "
                          "captures from this CDX index and ranged-fetch "
@@ -112,11 +116,22 @@ def main() -> int:
         .parquet(args.output)
     out = spark.read.parquet(args.output)
     rows = out.count()
+    wet_records = None
+    if args.wet_out:
+        from intelligent_document_processing_on_aws_spark.sources.warc import write_wet
+
+        wet_records = write_wet(
+            out.select("url", F.col("extracted_text").alias("text")),
+            args.wet_out,
+        )
     sec = round(time.time() - t0, 2)
-    print(json.dumps({
+    summary = {
         "rows": rows, "sec": sec,
         "docs_per_sec": round(rows / sec, 1) if sec else None,
-    }))
+    }
+    if wet_records is not None:
+        summary["wet_records"] = wet_records
+    print(json.dumps(summary))
     return 0
 
 

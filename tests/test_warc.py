@@ -326,3 +326,72 @@ def test_build_cdx_digest_and_urlkey_shape(spark):
         assert ")/" in r["urlkey"]
         assert _re.fullmatch(r"\d{14}", r["ts"])
         assert r["length"] > 0 and r["offset"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# WET writer (write_wet) — conversion records, deterministic bytes
+# ---------------------------------------------------------------------------
+
+
+def test_write_wet_roundtrips_through_read_warc(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from intelligent_document_processing_on_aws_spark.sources.warc import (
+        read_warc,
+        write_wet,
+    )
+
+    rows = [(f"https://x{i % 4}.com/p/{i}", f"text body {i} café",
+             "2024-03-01T00:00:00Z") for i in range(37)]
+    df = spark.createDataFrame(rows, "url string, text string, warc_date string")
+    out = tmp_path / "wet"
+    n = write_wet(df, str(out), date_col="warc_date", num_files=3)
+    assert n == 37
+
+    back = read_warc(spark, str(out), record_types=("conversion",))
+    got = {r["url"]: r for r in back.collect()}
+    assert set(got) == {u for u, *_ in rows}
+    for u, t, d in rows:
+        assert got[u]["text"] == t
+        assert got[u]["warc_date"] == d
+        assert got[u]["error"] is None
+
+
+def test_write_wet_bytes_are_deterministic(spark, tmp_path):
+    from intelligent_document_processing_on_aws_spark.sources.warc import (
+        write_wet,
+    )
+
+    rows = [(f"https://d.com/{i}", f"body {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    a, b = tmp_path / "a", tmp_path / "b"
+    write_wet(df, str(a), num_files=2)
+    write_wet(df.repartition(7), str(b), num_files=2)  # input partitioning irrelevant
+    fa = sorted(p.name for p in a.iterdir())
+    fb = sorted(p.name for p in b.iterdir())
+    assert fa == fb
+    for name in fa:
+        assert (a / name).read_bytes() == (b / name).read_bytes()
+
+
+def test_write_wet_output_is_cdx_indexable(spark, tmp_path):
+    """WET output is a first-class archive: build_cdx must NOT index it
+    as responses (conversion records are not fetchable captures), but
+    iter_warc_members must span it cleanly."""
+    from intelligent_document_processing_on_aws_spark.kernels.warc import (
+        iter_warc_members,
+    )
+    from intelligent_document_processing_on_aws_spark.sources.warc import (
+        write_wet,
+    )
+
+    df = spark.createDataFrame(
+        [("https://w.com/1", "alpha"), ("https://w.com/2", "beta")],
+        "url string, text string",
+    )
+    out = tmp_path / "wet"
+    write_wet(df, str(out), num_files=1)
+    data = next(out.iterdir()).read_bytes()
+    members = list(iter_warc_members(data))
+    assert len(members) == 2 and all(e is None for *_, e in members)
+    assert sum(ln for _, ln, *_ in members) == len(data)
