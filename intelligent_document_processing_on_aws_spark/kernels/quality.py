@@ -129,3 +129,23 @@ def repetition_signals(text: str) -> tuple[float, ...]:
         _dup_ngram_char_fraction(words, 5),
         _dup_ngram_char_fraction(words, 10),
     )
+
+
+def compression_signals(text: str) -> tuple[int, int, int]:
+    """(n_bytes, n_zlib, ratio_ppm) — the compression-ratio quality
+    signal (CCNet/Gopher family): highly repetitive or templated junk
+    compresses far below prose, so a LOW ratio_ppm flags it.
+
+    zlib level 6 (the production default), utf-8 bytes; ratio is
+    integer ppm (floor(n_zlib * 1e6 / n_bytes)) so the value is exact
+    and order-free cross-engine — no float formatting hazards.  Empty
+    text is (0, 0, 0): never divide, never emit the ~11-byte zlib
+    header as if it measured content.
+    """
+    import zlib
+
+    data = (text or "").encode("utf-8")
+    if not data:
+        return 0, 0, 0
+    comp = len(zlib.compress(data, 6))
+    return len(data), comp, comp * 1_000_000 // len(data)

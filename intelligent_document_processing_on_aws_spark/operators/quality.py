@@ -261,3 +261,33 @@ def doc_word_stats(
         & (F.col("stopword_hits") >= b["min_stopword_hits"])
     )
     return out.withColumn("word_gates_pass", gate)
+
+
+_COMPRESSION_SCHEMA = (
+    "doc_id long, n_bytes long, n_zlib long, compression_ppm long"
+)
+
+
+def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document zlib compression-ratio signal — one Arrow pass,
+    map-only, all-integer output (kernels/quality.compression_signals):
+    (doc_id, n_bytes, n_zlib, compression_ppm).  Low compression_ppm =
+    repetitive/templated content; used as a cheap pre-dedup junk gate
+    the way CCNet buckets documents by LM perplexity."""
+    from ..kernels.quality import compression_signals
+
+    src = docs.select("doc_id", F.col(text_col).alias("__text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sig = [compression_signals(t) for t in pdf["__text"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [s[0] for s in sig],
+                "n_zlib": [s[1] for s in sig],
+                "compression_ppm": [s[2] for s in sig],
+            })
+
+    return src.mapInPandas(run, _COMPRESSION_SCHEMA)

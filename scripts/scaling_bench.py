@@ -570,10 +570,11 @@ host-clustered. This bench measures the conservative salted path.
 
 ### r5 query-suite additions + three-scale oracle sweep
 
-Thirty-one new oracle-backed queries joined the suite this round,
-taking it from 49 (r4 gate) to 80 — web curation (`doc_word_stats`,
+Thirty-two new oracle-backed queries joined the suite this round,
+taking it from 49 (r4 gate) to 81 — web curation (`doc_word_stats`,
 `badword_filter`, `domain_stats`/`domain_filter`, `mojibake_repair`,
-`script_profile`, `doc_percentiles`), dedup depth (`incremental_dedup`
+`script_profile`, `doc_percentiles`, `compression_signal` zlib-ratio
+junk gate with a shared-kernel data-derived oracle), dedup depth (`incremental_dedup`
 Bloom-prefiltered batch-vs-corpus, `substring_dedup` k-token-window
 span removal, `line_dedup`), retrieval + models (`bm25_search`,
 `lang_classifier`, `lm_perplexity`), ingestion + multimodal
@@ -600,7 +601,7 @@ are sub-second to ~2 s.
 
 The full queries()/oracle_sql() surface was swept at ALL THREE committed
 scales this round (`scripts/check_oracles.py --json-out`, artifacts
-`CORRECTNESS_SWEEP_r05c_sf{{0.001,0.01,0.1}}.json`): **80/80 queries green
+`CORRECTNESS_SWEEP_r05c_sf{{0.001,0.01,0.1}}.json`): **81/81 queries green
 at every scale** — every query has a FULL value-hash oracle, none
 degrade to rows-only — including the threshold-robust
 `dedup_minhash_lsh` oracle (guard band around J=0.800000) that closed

@@ -154,3 +154,41 @@ def test_doc_quality_plan_vectorized_and_shuffle_free(spark):
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_compression_signals_kernel_flags_repetition():
+    from intelligent_document_processing_on_aws_spark.kernels.quality import (
+        compression_signals,
+    )
+
+    rep = compression_signals("spam " * 400)
+    prose = compression_signals(
+        "the quick brown fox jumps over a lazy dog near 12 old barns")
+    assert rep[2] < prose[2]            # repetitive junk compresses away
+    assert compression_signals("") == (0, 0, 0)
+    assert compression_signals(None) == (0, 0, 0)
+    nb, nz, ppm = prose
+    assert ppm == nz * 1_000_000 // nb  # exact integer contract
+
+
+def test_compression_ratio_operator_map_only(spark):
+    from intelligent_document_processing_on_aws_spark.kernels.quality import (
+        compression_signals,
+    )
+    from intelligent_document_processing_on_aws_spark.operators.quality import (
+        compression_ratio,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc " * 100), (2, "mixed entropy words 123"), (3, None),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_bytes"], r["n_zlib"], r["compression_ppm"])
+           for r in compression_ratio(docs).collect()}
+    assert got[1] == compression_signals("abc " * 100)
+    assert got[2] == compression_signals("mixed entropy words 123")
+    assert got[3] == (0, 0, 0) and got[4] == (0, 0, 0)
+    plan = compression_ratio(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and plan.count("MapInPandas") == 1
