@@ -100,6 +100,12 @@ def main() -> int:
     ap.add_argument("--sample-budget", type=int, default=0, metavar="TOKENS",
                     help="final alpha=0.5 temperature sample down to this "
                          "token budget, stratified by detected language")
+    ap.add_argument("--min-compression-ppm", type=int, default=0,
+                    metavar="PPM",
+                    help="drop docs whose zlib ratio (integer ppm) falls "
+                         "below this — the CCNet/Gopher-family "
+                         "repetitive-junk gate (0 = off; ~200000 is a "
+                         "conservative floor for prose)")
     ap.add_argument("--span-dedup", type=int, default=0, metavar="K",
                     help="remove duplicated >=K-token spans from the "
                          "curated corpus (0 = off)")
@@ -147,6 +153,18 @@ def main() -> int:
     # Gopher repetition gate: one map-only Arrow pass over the survivors
     gated = gated.join(quality_gate_ids(gated), "doc_id")
     n_repetition = gated.count()
+
+    n_compression = None
+    if args.min_compression_ppm:
+        from intelligent_document_processing_on_aws_spark.operators.quality import (
+            compression_ratio,
+        )
+
+        keep = compression_ratio(gated).where(
+            F.col("compression_ppm") >= args.min_compression_ppm
+        ).select("doc_id")
+        gated = gated.join(keep, "doc_id")
+        n_compression = gated.count()
 
     n_word_gates = None
     if args.word_gates:
@@ -270,6 +288,7 @@ def main() -> int:
         "docs": n_docs,
         "after_quality": n_quality,
         "after_repetition": n_repetition,
+        "after_compression": n_compression,
         "after_word_gates": n_word_gates,
         "after_badwords": n_badwords,
         "after_c4": n_c4,
