@@ -427,3 +427,22 @@ def test_round5_sampling_plans(spark):
     temp = _plan(temperature_sample(df, "lang", 100))
     assert "BatchEvalPython" not in temp
     assert "BroadcastHashJoin" in temp or "BroadcastNestedLoopJoin" in temp
+
+
+def test_semdedup_plan_cluster_join_no_row_python(spark):
+    """SemDeDup: assignment is ONE Arrow map pass; the pair stage joins on
+    the centroid key (bounded clusters), never an unkeyed cross join."""
+    from intelligent_document_processing_on_aws_spark.operators.semdedup import (
+        semdedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.1 * i, 0.0]) for i in range(40)],
+        ["vec_id", "embedding"],
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    out = semdedup(df, threshold=0.99, n_centroids=4)
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan            # the Arrow assignment pass
+    assert "CartesianProduct" not in plan   # pair stage keyed on centroid
+    assert "BroadcastNestedLoopJoin" not in plan
