@@ -129,6 +129,93 @@ def pagerank_hosts(
     return ranks
 
 
+def trustrank_hosts(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    reverse: bool = False,
+) -> DataFrame:
+    """Personalized PageRank with teleport restricted to a seed set —
+    TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) when seeds
+    are hand-vetted GOOD hosts, Anti-TrustRank (Krishnan & Raj 2006)
+    with ``reverse=True`` when seeds are known SPAM hosts (distrust
+    flows backward along links: a host linking into spam inherits
+    distrust).  Output: (host, rank) over ALL graph hosts; non-seed
+    hosts start at 0 and only gain rank through propagation.
+
+    Same integer fixed-point discipline as ``pagerank_hosts`` (bigint
+    DIV/sum, exact 17/20 damping) — order-free, bit-stable, oracle-
+    comparable.  Same 100-TB shape: one Exchange per iteration on the
+    aggregation key; the seed table is a broadcast-sized dimension.
+    """
+    edges = edges.select("src_host", "dst_host").distinct()
+    if reverse:
+        edges = edges.select(
+            F.col("dst_host").alias("src_host"),
+            F.col("src_host").alias("dst_host"),
+        )
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionAll(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    degrees = edges.groupBy("src_host").agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    seeds = F.broadcast(
+        seeds.select(F.col("host"), F.lit(True).alias("is_seed")).distinct()
+    )
+    hosts = hosts.join(seeds, "host", "left").select(
+        "host", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
+    )
+    # n_seeds counts seeds PRESENT in the graph (a scalar, like N)
+    n_seeds = int(hosts.where("is_seed").count())
+    if n_seeds == 0:
+        return hosts.select("host", F.lit(0).cast("long").alias("rank"))
+    teleport = (SCALE * (damping_den - damping_num) // damping_den) // n_seeds
+
+    ranks = hosts.select(
+        "host",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(SCALE // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(int(n_iter)):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("host").alias("src_host"), "rank"
+                ),
+                "src_host",
+            )
+            .join(degrees, "src_host")
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("rank DIV out_degree").alias("contrib"),
+            )
+            .groupBy("host")
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        ranks = hosts.join(contrib, "host", "left").select(
+            "host",
+            "is_seed",
+            (
+                F.when(F.col("is_seed"), F.lit(teleport))
+                .otherwise(F.lit(0))
+                .cast("long")
+                + F.expr(
+                    f"({damping_num} * coalesce(incoming, 0)) "
+                    f"DIV {damping_den}"
+                )
+            ).alias("rank"),
+        )
+    return ranks.select("host", "rank")
+
+
 _ANCHOR_RE = r'(?i)<a\s[^>]*href="([^"#]+)"[^>]*>([^<]*)</a>'
 
 

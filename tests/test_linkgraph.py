@@ -115,3 +115,69 @@ def test_anchor_pairs_and_terms(spark):
     # native end to end: no Python eval anywhere in the plan
     plan = anchor_terms(pages)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_trustrank_seed_teleport_and_reverse_propagation(spark):
+    from intelligent_document_processing_on_aws_spark.operators.linkgraph import (
+        SCALE,
+        trustrank_hosts,
+    )
+
+    # linker -> spam ; clean -> other (disconnected from spam)
+    edges = spark.createDataFrame(
+        [("linker.com", "spam.com"), ("clean.com", "other.com")],
+        ["src_host", "dst_host"],
+    )
+    seeds = spark.createDataFrame([("spam.com",)], ["host"])
+    fwd = {r["host"]: r["rank"]
+           for r in trustrank_hosts(edges, seeds, n_iter=2).collect()}
+    # forward: spam.com has no outlinks -> nothing propagates; only the
+    # seed holds teleport mass
+    assert fwd["spam.com"] > 0
+    assert fwd["linker.com"] == 0 and fwd["clean.com"] == 0
+
+    rev = {r["host"]: r["rank"]
+           for r in trustrank_hosts(edges, seeds, n_iter=2, reverse=True).collect()}
+    # Anti-TrustRank: distrust flows BACKWARD -> the host linking into
+    # spam inherits mass; the disconnected pair stays at zero
+    assert rev["spam.com"] > rev["linker.com"] > 0
+    assert rev["clean.com"] == 0 and rev["other.com"] == 0
+    # hand-check iteration 2 exactly: rank1(spam) = teleport = 3*SCALE//20
+    # (no in-edges), so rank2(linker) = 17 * rank1(spam) DIV 20
+    assert rev["linker.com"] == 17 * (SCALE * 3 // 20) // 20
+    assert rev["spam.com"] == SCALE * 3 // 20
+
+
+def test_trustrank_no_seeds_in_graph_is_all_zero(spark):
+    from intelligent_document_processing_on_aws_spark.operators.linkgraph import (
+        trustrank_hosts,
+    )
+
+    edges = spark.createDataFrame(
+        [("a.com", "b.com")], ["src_host", "dst_host"]
+    )
+    seeds = spark.createDataFrame([("absent.com",)], ["host"])
+    out = trustrank_hosts(edges, seeds, n_iter=3).collect()
+    assert {r["rank"] for r in out} == {0}
+
+
+def test_trustrank_deterministic_across_partitioning(spark):
+    from intelligent_document_processing_on_aws_spark.operators.linkgraph import (
+        trustrank_hosts,
+    )
+
+    edges_rows = [
+        (f"h{i % 11}", f"h{(3 * i + 1) % 11}") for i in range(60)
+        if i % 11 != (3 * i + 1) % 11
+    ]
+    seeds = spark.createDataFrame([("h0",), ("h1",)], ["host"])
+    a = trustrank_hosts(
+        spark.createDataFrame(edges_rows, ["src_host", "dst_host"]),
+        seeds, n_iter=3, reverse=True,
+    ).orderBy("host").collect()
+    b = trustrank_hosts(
+        spark.createDataFrame(edges_rows, ["src_host", "dst_host"])
+        .repartition(13),
+        seeds, n_iter=3, reverse=True,
+    ).orderBy("host").collect()
+    assert a == b and len(a) > 0
