@@ -100,3 +100,57 @@ def packing_summary(packed: DataFrame, seq_len: int) -> DataFrame:
             ).alias("n_seqs"),
         )
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int = 16,
+    seed: str = "shard-42",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic global shuffle -> shard assignment -> token offsets.
+
+    The training-data last mile: writers need the corpus in a fixed
+    pseudo-random order, split into n_shards independent output files,
+    with per-document byte/token offsets so any shard can be written (or
+    re-written after a failure) in isolation.  The 'shuffle' is the
+    engine-portable md5-le64(seed:doc_id) key (sampling-operator
+    convention): shard = key % n_shards, order within a shard =
+    (key, doc_id) — a pure function of the row, so retries, re-runs and
+    different partitionings produce the IDENTICAL manifest (the same
+    resumability argument as hash_sample).
+
+    Output: (doc_id, shard, pos, n_tokens, start_token) where pos is the
+    0-based position inside the shard and start_token the exclusive
+    cumulative token count before this doc.
+
+    100-TB shape: one Exchange on the shard key, then a per-shard
+    sort-based window cumsum; n_shards scales with the corpus (shards
+    are output files), so no partition outgrows its executor.  Zero
+    Python, all integer arithmetic.
+    """
+    key = sample_key(F.col(doc_id_col), seed)
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    base = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        key.alias("skey"),
+        (key % n_shards).cast("int").alias("shard"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return base.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        "n_tokens",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long").alias("start_token"),
+    )

@@ -108,3 +108,53 @@ def test_decontaminate_is_streaming_compatible(spark, tmp_path):
         r["doc_id"]
         for r in decontaminate_stream(batch, evals, n=13).collect()
     ] == [2]
+
+
+def test_shard_manifest_offsets_and_determinism(spark):
+    from intelligent_document_processing_on_aws_spark.operators.packing import (
+        shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 5))) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    out = shard_manifest(docs, n_shards=4, seed="t").collect()
+    assert len(out) == 50  # every doc lands exactly once
+    assert {r["shard"] for r in out} <= set(range(4))
+    # per shard: pos is a gapless 0..n-1 sequence and start_token is the
+    # exclusive prefix sum of n_tokens in pos order
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rows] == list(range(len(rows)))
+        run = 0
+        for r in rows:
+            assert r["start_token"] == run
+            run += r["n_tokens"]
+    # empty docs count zero tokens
+    zero = [r for r in out if r["doc_id"] % 5 == 0]
+    assert all(r["n_tokens"] == 0 for r in zero)
+    # pure function of the row: identical under different partitioning
+    b = shard_manifest(docs.repartition(13), n_shards=4, seed="t").collect()
+    assert sorted(map(tuple, b)) == sorted(map(tuple, out))
+    # different seed -> different order (the shuffle actually shuffles)
+    c = shard_manifest(docs, n_shards=4, seed="other").collect()
+    assert sorted(map(tuple, c)) != sorted(map(tuple, out))
+
+
+def test_shard_manifest_plan_no_python_single_exchange(spark):
+    from intelligent_document_processing_on_aws_spark.operators.packing import (
+        shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], ["doc_id", "text"]
+    )
+    df = shard_manifest(docs, n_shards=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # exactly one Exchange: the hash partition on the shard key
+    assert plan.count("Exchange") == 1
