@@ -27,7 +27,10 @@ Optional r5 stages (flags, default off; applied in published order):
 --span-dedup K removes duplicated >=K-token spans AFTER near-dup
 (RefinedWeb ordering); --decontaminate EVALS drops docs sharing a
 13-gram with the eval set (GPT-3 Appendix C) right after near-dup,
-before any text rewriting; --sample-budget N finishes with the
+before any text rewriting; --semdedup EMB drops semantic near-dups
+(within-cluster cosine, Abbas et al. 2023) right after MinHash dedup;
+--dsir-top-k N keeps the N highest DSIR importance weights (Xie et al.
+2023) immediately before the mix; --sample-budget N finishes with the
 deterministic alpha=0.5 temperature mix down to N tokens.
 
 All stages are shuffle-lean: stats are map-only; the quality gate pushes
@@ -106,6 +109,19 @@ def main() -> int:
                          "below this — the CCNet/Gopher-family "
                          "repetitive-junk gate (0 = off; ~200000 is a "
                          "conservative floor for prose)")
+    ap.add_argument("--semdedup", default=None, metavar="EMB_PARQUET",
+                    help="embeddings parquet (vec_id=doc_id, embedding); "
+                         "drop semantic near-dups (within-k-means-cluster "
+                         "cosine >= --semdedup-threshold, Abbas et al. "
+                         "2023) after MinHash near-dup")
+    ap.add_argument("--semdedup-threshold", type=float, default=0.35)
+    ap.add_argument("--semdedup-clusters", type=int, default=16)
+    ap.add_argument("--dsir-top-k", type=int, default=0, metavar="N",
+                    help="keep only the N top DSIR-importance docs "
+                         "(bigram-LM log-ratio vs --dsir-target-langs, "
+                         "Xie et al. 2023); runs right before the "
+                         "temperature sample")
+    ap.add_argument("--dsir-target-langs", default="en")
     ap.add_argument("--span-dedup", type=int, default=0, metavar="K",
                     help="remove duplicated >=K-token spans from the "
                          "curated corpus (0 = off)")
@@ -227,6 +243,24 @@ def main() -> int:
     kept = survivors.join(
         groups.where(~F.col("is_duplicate")).select("doc_id"), "doc_id"
     )
+    n_semdedup = None
+    if args.semdedup:
+        # SemDeDup on the MinHash survivors (its published position:
+        # lexical dedup first, then the semantic pass over embeddings)
+        from intelligent_document_processing_on_aws_spark.operators.semdedup import (
+            semdedup,
+        )
+
+        emb = spark.read.parquet(args.semdedup).join(
+            kept.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        )
+        drops = semdedup(
+            emb,
+            threshold=args.semdedup_threshold,
+            n_centroids=args.semdedup_clusters,
+        ).select(F.col("vec_id").alias("doc_id"))
+        kept = kept.join(drops, "doc_id", "left_anti")
+        n_semdedup = kept.count()
     n_decontaminated = None
     if args.decontaminate:
         # decontamination runs on the deduped candidate set, BEFORE any
@@ -261,6 +295,29 @@ def main() -> int:
                          F.col("text_deduped").alias("text")),
             "doc_id",
         )
+    n_dsir = None
+    if args.dsir_top_k:
+        # DSIR selection (data selection proper) immediately before the
+        # budgeted mix: score the cleaned candidates against the target
+        # slice, keep the top-N importance weights. hash_buckets bounds
+        # the feature table to a broadcastable size at any corpus scale.
+        from intelligent_document_processing_on_aws_spark.operators.dsir import (
+            dsir_weights,
+        )
+
+        tlangs = [s.strip() for s in args.dsir_target_langs.split(",")
+                  if s.strip()]
+        scored_in = kept.join(
+            stats.select("doc_id", "lang_guess"), "doc_id"
+        )
+        sel = dsir_weights(
+            scored_in,
+            target_cond=F.col("lang_guess").isin(tlangs),
+            top_k=args.dsir_top_k,
+            hash_buckets=1 << 18,
+        ).where("selected").select("doc_id")
+        kept = kept.join(sel, "doc_id")
+        n_dsir = kept.count()
     n_sampled = None
     if args.sample_budget:
         # final stage: temperature (alpha=0.5) mix down to the token
@@ -293,7 +350,9 @@ def main() -> int:
         "after_badwords": n_badwords,
         "after_c4": n_c4,
         "span_tokens_removed": n_span_removed,
+        "after_semdedup": n_semdedup,
         "after_decontamination": n_decontaminated,
+        "after_dsir": n_dsir,
         "after_sampling": n_sampled,
         "after_exact": n_exact,
         "lsh_dropped_buckets": n_dropped_buckets,
