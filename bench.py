@@ -25,19 +25,24 @@ from intelligent_document_processing_on_aws_spark.entry_queries import (  # noqa
     q_ann_brute_topk,
     q_audio_features,
     q_bpe_tokenize,
+    q_corpus_shards,
     q_decontamination,
+    q_dsir_weights,
     q_doc_quality,
     q_doc_stats,
     q_eval_metrics,
     q_extract_xls,
+    q_host_spamrank,
     q_image_resize,
     q_incremental_dedup,
     q_lang_classifier,
     q_line_dedup,
     q_lm_perplexity,
     q_mojibake_repair,
+    q_semdedup,
     q_substring_dedup,
     q_pricing_summary,
+    q_quality_classifier,
     q_section_attributes,
 )
 from intelligent_document_processing_on_aws_spark.operators.dedup import (  # noqa: E402
@@ -132,6 +137,8 @@ def main() -> int:
     timed("audio_features", lambda: q_audio_features(spark, sf_dir).count())
     timed("lang_classifier", lambda: q_lang_classifier(spark, sf_dir)
           .agg(F.avg(F.col("correct").cast("double"))).collect())
+    timed("quality_classifier", lambda: q_quality_classifier(spark, sf_dir)
+          .agg(F.avg(F.col("agrees").cast("double"))).collect())
     timed("lm_perplexity", lambda: q_lm_perplexity(spark, sf_dir)
           .agg(F.sum("n_bigrams"), F.avg("ppl")).collect())
     timed("line_dedup", lambda: q_line_dedup(spark, sf_dir)
@@ -147,6 +154,14 @@ def main() -> int:
                F.sum(F.col("contaminated").cast("long"))).collect())
     timed("bpe_tokenize", lambda: q_bpe_tokenize(spark, sf_dir)
           .agg(F.sum("n_bpe"), F.sum("n_words")).collect())
+    timed("dsir_weights", lambda: q_dsir_weights(spark, sf_dir)
+          .agg(F.sum("dsir_score"),
+               F.sum(F.col("selected").cast("long"))).collect())
+    timed("semdedup", lambda: q_semdedup(spark, sf_dir).count())
+    timed("corpus_shards", lambda: q_corpus_shards(spark, sf_dir)
+          .agg(F.max("start_token"), F.sum("n_tokens")).collect())
+    timed("host_spamrank", lambda: q_host_spamrank(spark, sf_dir)
+          .agg(F.sum("rank")).collect())
     timed("dedup_ngram_jaccard",
           lambda: ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), 0.8).count())
     timed("dedup_minhash_lsh",

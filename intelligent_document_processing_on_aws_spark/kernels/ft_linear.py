@@ -139,3 +139,15 @@ def score_micro(text: str, w_micro: list[list[int]], b_micro: list[int],
             s = sum(w_micro[k][b] for b in buckets)
             out.append(b_micro[k] + s // n)
     return out
+
+
+def weak_quality_label(text: str | None) -> str:
+    """Pure twin of operators/ft_classifier.weak_quality_label: 'hq' iff
+    >= 40 whitespace-split words and total word chars <= 6 * n_words
+    (integer mean-word-length test — no float boundary)."""
+    import re as _re
+
+    ws = [w for w in _re.split(r"\s+", text or "") if w]
+    n = len(ws)
+    s = sum(len(w) for w in ws)
+    return "hq" if n >= 40 and s <= 6 * n else "lq"

@@ -212,3 +212,50 @@ def ft_lang_classifier(
         max_chars=max_chars)
     return classify_lang(docs, w_micro, b_micro, classes, text_col,
                          n_buckets, max_chars)
+
+
+def weak_quality_label(text: Column) -> Column:
+    """Weak 'hq'/'lq' label (CCNet-style quality-classifier supervision):
+    hq iff >= 40 words AND mean word length <= 6 chars.  The mean test is
+    the INTEGER comparison sum_len <= 6*n (no float boundary), sum_len =
+    non-whitespace char count — exactly mirrorable in DuckDB and in the
+    pure twin kernels/ft_linear.weak_quality_label."""
+    t = F.coalesce(text, F.lit(""))
+    n = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != F.lit("")))
+    s = F.length(F.regexp_replace(t, r"\s+", ""))
+    return F.when((n >= 40) & (s <= 6 * n), F.lit("hq")).otherwise(F.lit("lq"))
+
+
+def ft_quality_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    sample_n: int = 512,
+    n_buckets: int = DEFAULT_BUCKETS,
+    max_chars: int = MAX_CHARS,
+) -> DataFrame:
+    """Model-based quality filter, the CCNet/LLaMA-pipeline stage: train
+    the fastText-architecture classifier on WEAK labels derived from
+    cheap stats (weak_quality_label), then score the whole corpus with
+    the same zero-Python Catalyst inference as the lang classifier.
+
+    Output: (doc_id, weak_label, n_grams, score_micro, pred_quality,
+    prob, agrees).  Same 100-TB shape as ft_lang_classifier: bounded
+    TakeOrdered training sample, map-only scoring projection."""
+    labeled = docs.select(
+        "doc_id",
+        F.col(text_col).alias("text"),
+        weak_quality_label(F.col(text_col)).alias("lang"),
+    )
+    out = ft_lang_classifier(
+        labeled, text_col="text", label_col="lang",
+        sample_n=sample_n, n_buckets=n_buckets, max_chars=max_chars,
+    )
+    return out.select(
+        "doc_id",
+        F.col("lang").alias("weak_label"),
+        "n_grams",
+        "score_micro",
+        F.col("pred_lang").alias("pred_quality"),
+        "prob",
+        F.col("correct").alias("agrees"),
+    )

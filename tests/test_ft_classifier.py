@@ -148,3 +148,52 @@ def test_inference_plan_is_native(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # map-only: no shuffle
+
+
+def test_quality_classifier_weak_labels_and_learning(spark):
+    from intelligent_document_processing_on_aws_spark.kernels.ft_linear import (
+        weak_quality_label as pure_label,
+    )
+    from intelligent_document_processing_on_aws_spark.operators.ft_classifier import (
+        ft_quality_classifier,
+        weak_quality_label,
+    )
+    from pyspark.sql import functions as F
+
+    # clearly separable corpus: hq = many short words, lq = few/long words
+    hq = "the cat sat on a mat and then ran to the red barn " * 5
+    lq = "supercalifragilistic expialidocious " * 3
+    rows = [(i, hq if i % 2 == 0 else lq) for i in range(120)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # Column expression and pure twin agree on every row
+    got = docs.select(
+        "doc_id", weak_quality_label(F.col("text")).alias("l")
+    ).collect()
+    for r in got:
+        expect = pure_label(hq if r["doc_id"] % 2 == 0 else lq)
+        assert r["l"] == expect
+    assert {r["l"] for r in got} == {"hq", "lq"}
+
+    out = ft_quality_classifier(docs, sample_n=64).collect()
+    assert len(out) == 120
+    # weak supervision is trivially learnable here: full agreement
+    agree = sum(r["agrees"] for r in out)
+    assert agree == 120
+    assert {r["pred_quality"] for r in out} == {"hq", "lq"}
+
+
+def test_quality_classifier_plan_no_python(spark):
+    from intelligent_document_processing_on_aws_spark.operators.ft_classifier import (
+        ft_quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "some words here " * (2 + i % 3)) for i in range(70)],
+        ["doc_id", "text"],
+    )
+    df = ft_quality_classifier(docs, sample_n=32)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # scoring is pure Catalyst: the only driver work was the bounded
+    # training collect, which is not part of this plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
