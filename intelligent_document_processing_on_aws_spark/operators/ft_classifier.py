@@ -259,3 +259,35 @@ def ft_quality_classifier(
         "prob",
         F.col("correct").alias("agrees"),
     )
+
+
+def ft_quality_gate_ids(
+    docs: DataFrame,
+    text_col: str = "text",
+    sample_n: int = 512,
+    n_buckets: int = DEFAULT_BUCKETS,
+    max_chars: int = MAX_CHARS,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """doc_ids predicted 'hq' — the gate spelling of the classifier,
+    safe to join/filter against at any scale.
+
+    Do NOT spell this as `ft_quality_classifier(docs).where(pred ==
+    'hq')` on the live plan: higher-order functions are CodegenFallback
+    (always interpreted), and PushPredicateThroughNonJoin substitutes
+    every staged alias into the filter condition — nesting the O(L)
+    codepoint transform INSIDE the per-element bucket lambda, turning
+    scoring into O(L^2) interpreted work per row (~0.8 s/doc at
+    max_chars=4096; measured 400x slower than evaluating the staged
+    projection). Materializing the small verdict table first keeps
+    scoring a single staged map pass and makes the filter a trivial
+    scan over (doc_id, pred) — also the production shape: score tables
+    are landed once and gated many times."""
+    from .dedup import _truncate_lineage
+
+    scored = ft_quality_classifier(
+        docs, text_col=text_col, sample_n=sample_n,
+        n_buckets=n_buckets, max_chars=max_chars,
+    ).select("doc_id", "pred_quality")
+    scored = _truncate_lineage(scored, checkpoint_dir, eager=True)
+    return scored.where(F.col("pred_quality") == "hq").select("doc_id")

@@ -109,6 +109,10 @@ def main() -> int:
                          "below this — the CCNet/Gopher-family "
                          "repetitive-junk gate (0 = off; ~200000 is a "
                          "conservative floor for prose)")
+    ap.add_argument("--quality-classifier", action="store_true",
+                    help="model-based quality gate (CCNet fastText "
+                         "stage): train on weak stat labels, keep docs "
+                         "predicted 'hq'; runs after the stat gates")
     ap.add_argument("--semdedup", default=None, metavar="EMB_PARQUET",
                     help="embeddings parquet (vec_id=doc_id, embedding); "
                          "drop semantic near-dups (within-k-means-cluster "
@@ -181,6 +185,21 @@ def main() -> int:
         ).select("doc_id")
         gated = gated.join(keep, "doc_id")
         n_compression = gated.count()
+
+    n_quality_clf = None
+    if args.quality_classifier:
+        # model-based quality gate: weak-label-trained fastText-style
+        # classifier, keep predicted-hq docs (zero-Python scoring)
+        from intelligent_document_processing_on_aws_spark.operators.ft_classifier import (
+            ft_quality_gate_ids,
+        )
+
+        # gate spelling, not .where() on the live plan — see
+        # ft_quality_gate_ids for why filtering the un-materialized
+        # classifier output is O(L^2) interpreted work per row
+        hq = ft_quality_gate_ids(gated, checkpoint_dir=args.checkpoint_dir)
+        gated = gated.join(hq, "doc_id")
+        n_quality_clf = gated.count()
 
     n_word_gates = None
     if args.word_gates:
@@ -346,6 +365,7 @@ def main() -> int:
         "after_quality": n_quality,
         "after_repetition": n_repetition,
         "after_compression": n_compression,
+        "after_quality_classifier": n_quality_clf,
         "after_word_gates": n_word_gates,
         "after_badwords": n_badwords,
         "after_c4": n_c4,

@@ -197,3 +197,37 @@ def test_quality_classifier_plan_no_python(spark):
     # scoring is pure Catalyst: the only driver work was the bounded
     # training collect, which is not part of this plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_quality_gate_ids_matches_scored_and_is_materialized(spark):
+    """ft_quality_gate_ids must (a) equal the scored-then-filtered id
+    set and (b) filter over a MATERIALIZED verdict table, never the
+    live classifier plan — PushPredicateThroughNonJoin would inline the
+    O(L) codepoint transform inside the per-element bucket lambda and
+    make the (interpreted, CodegenFallback) filter O(L^2) per row
+    (~0.8 s/doc measured at max_chars=4096)."""
+    from intelligent_document_processing_on_aws_spark.operators.ft_classifier import (
+        ft_quality_classifier,
+        ft_quality_gate_ids,
+    )
+
+    hq = "the cat sat on a mat and then ran to the red barn " * 5
+    lq = "supercalifragilistic expialidocious " * 3
+    docs = spark.createDataFrame(
+        [(i, hq if i % 2 == 0 else lq) for i in range(120)],
+        ["doc_id", "text"],
+    )
+
+    expect = {
+        r["doc_id"]
+        for r in ft_quality_classifier(docs, sample_n=64).collect()
+        if r["pred_quality"] == "hq"
+    }
+    gate = ft_quality_gate_ids(docs, sample_n=64)
+    assert {r["doc_id"] for r in gate.collect()} == expect == set(range(0, 120, 2))
+
+    # the gate's plan scans the checkpointed verdict RDD; the classifier
+    # expression chain must NOT appear under the filter
+    plan = gate._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    assert "transform(" not in plan and "aggregate(" not in plan
