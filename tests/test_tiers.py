@@ -1,0 +1,151 @@
+"""Quality-tier extraction + per-source cap (operators/tiers.py):
+exact integer tier boundaries, deterministic cap tie-breaks, and the
+pinned plan shapes (map-only assignment, WindowGroupLimit cap)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+def test_tier_boundary_is_exact_integer(spark):
+    """A doc whose score lands EXACTLY on a TIER_BOUNDS value must take
+    the higher tier (>= comparison), and one point below must not —
+    only possible to pin because the score is integer ppm with floor
+    division (no float boundary).
+
+    192 non-stopword alnum tokens, zero punctuation:
+      len_ppm  = 400000*192 // 256 = 300000 exactly
+      punct_ppm = 300000 (no punct chars), stop_ppm = 0
+      score = 600000 == TIER_BOUNDS[3]  ->  tier 4 'head'
+    191 tokens: len_ppm = 298437 -> score 598437 -> tier 3 'high'."""
+    from intelligent_document_processing_on_aws_spark.operators.tiers import (
+        TIER_BOUNDS,
+        quality_tiers,
+    )
+
+    assert TIER_BOUNDS[3] == 600_000
+    at = " ".join(["zzz"] * 192)
+    below = " ".join(["zzz"] * 191)
+    out = {
+        r["doc_id"]: r
+        for r in quality_tiers(
+            _mk_docs(spark, [(1, "s", at), (2, "s", below)])
+        ).collect()
+    }
+    assert out[1]["score_ppm"] == 600_000
+    assert out[1]["tier"] == 4 and out[1]["tier_label"] == "head"
+    assert out[2]["score_ppm"] == 598_437
+    assert out[2]["tier"] == 3 and out[2]["tier_label"] == "high"
+
+
+def test_tier_score_matches_python_reference(spark):
+    """Spark scores == an independent pure-Python spelling of the spec
+    on a mixed corpus (punctuation, stopwords, empty, NULL)."""
+    from intelligent_document_processing_on_aws_spark.kernels.textstats import (
+        STOPWORDS,
+    )
+    from intelligent_document_processing_on_aws_spark.operators.tiers import (
+        quality_tiers,
+    )
+
+    texts = [
+        "the cat sat on the mat, and it is that good!!!",
+        "zzz " * 40,
+        "a b c ... !!! ??? ;;;",
+        "",
+        None,
+        "word " * 300 + "the and of to is in it",
+    ]
+    rows = [(i, f"src{i % 2}", t) for i, t in enumerate(texts)]
+
+    def ref(t):
+        t = t or ""
+        toks = [w for w in t.strip().split()] if t.strip() else []
+        nt = len(toks)
+        nc = len(t)
+        npunct = sum(1 for ch in t if not (ch.isascii() and (ch.isalnum() or ch.isspace())))
+        sh = sum(1 for w in toks if w.lower() in STOPWORDS)
+        len_ppm = (400_000 * min(nt, 256)) // 256
+        punct_ppm = 0 if nc == 0 else (300_000 * (nc - min(4 * npunct, nc))) // nc
+        stop_ppm = 0 if nt == 0 else (300_000 * min(5 * sh, nt)) // nt
+        return len_ppm + punct_ppm + stop_ppm
+
+    got = {r["doc_id"]: r for r in quality_tiers(_mk_docs(spark, rows)).collect()}
+    for i, t in enumerate(texts):
+        assert got[i]["score_ppm"] == ref(t), (i, t)
+    # NULL/empty land in the bottom tier, never crash
+    assert got[3]["tier"] == 0 and got[4]["tier"] == 0
+
+
+def test_tier_rollup_partitions_the_corpus(spark):
+    from intelligent_document_processing_on_aws_spark.operators.tiers import (
+        quality_tiers,
+        tier_rollup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    per_doc = quality_tiers(docs).collect()
+    roll = {r["tier"]: r for r in tier_rollup(docs).collect()}
+    assert sum(r["n_docs"] for r in roll.values()) == len(per_doc)
+    for t, r in roll.items():
+        mine = [d for d in per_doc if d["tier"] == t]
+        assert r["n_docs"] == len(mine)
+        assert r["total_tokens"] == sum(d["n_tokens"] for d in mine)
+        assert r["n_sources"] == len({d["source"] for d in mine})
+        assert r["tier_label"] == mine[0]["tier_label"]
+
+
+def test_source_cap_keeps_topk_with_deterministic_ties(spark):
+    """Per-source cap: exactly k survivors per source, ranked by
+    (score DESC, doc_id ASC) — equal-score ties keep the LOWEST doc_id,
+    so the result is identical at any parallelism."""
+    from intelligent_document_processing_on_aws_spark.operators.tiers import (
+        source_cap,
+        tier_score_ppm,
+    )
+
+    # 10 identical docs (exact score ties) + 5 distinct ones per source
+    rows = []
+    for s in ("a", "b"):
+        base = 100 if s == "a" else 200
+        rows += [(base + i, s, "zzz " * 50) for i in range(10)]
+        rows += [(base + 50 + i, s, "word " * (10 + 30 * i)) for i in range(5)]
+    docs = _mk_docs(spark, rows)
+
+    kept = source_cap(docs, k=4).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r)
+    scores = {
+        r["doc_id"]: r["score_ppm"] for r in tier_score_ppm(docs).collect()
+    }
+    for s, grp in by_src.items():
+        assert len(grp) == 4
+        expect = sorted(scores, key=lambda d: (-scores[d], d))
+        expect = [d for d in expect if (100 <= d < 200) == (s == "a")][:4]
+        assert sorted(r["doc_id"] for r in grp) == sorted(expect)
+        assert sorted(r["rank_in_source"] for r in grp) == [1, 2, 3, 4]
+
+
+def test_tiers_plan_shapes(spark):
+    """quality_tiers is a map-only projection (zero Exchange); the cap
+    is planned as WindowGroupLimit so each partition prunes to local
+    top-k BEFORE the single shuffle; nothing drops to per-row Python."""
+    from intelligent_document_processing_on_aws_spark.operators.tiers import (
+        quality_tiers,
+        source_cap,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = quality_tiers(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    plan = source_cap(docs, 16)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
