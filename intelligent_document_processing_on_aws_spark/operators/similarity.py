@@ -179,6 +179,10 @@ def build_ivf_centroids(
     rows = (
         embeddings.orderBy(id_col).limit(sample).select(vec_col).collect()
     )
+    if not rows:
+        # an empty (or fully pre-filtered) corpus has no index to build;
+        # callers treat a 0-row centroid table as "nothing to assign"
+        return np.zeros((0, 0), dtype=np.float64)
     X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     return kmeans_centroids(X, n_centroids, n_iters, seed)
 

@@ -62,10 +62,14 @@ def tier_score_ppm(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, source, n_tokens, score_ppm) — the integer composite of
     the three textstats.quality_score components, in one map pass."""
     c = F.coalesce(F.col(text_col), F.lit(""))
+    # tables without a host/source column (e.g. the curation funnel's
+    # (doc_id, text) slice) still tier; the cap then degenerates to a
+    # global top-k, which is what a single-source corpus means anyway
+    src = F.col("source") if "source" in docs.columns else F.lit("__all__")
     staged = (
         docs.select(
             "doc_id",
-            "source",
+            src.alias("source"),
             c.alias("__t"),
             token_count(c).cast("bigint").alias("n_tokens"),
             F.length(c).cast("bigint").alias("__n_chars"),

@@ -113,6 +113,16 @@ def main() -> int:
                     help="model-based quality gate (CCNet fastText "
                          "stage): train on weak stat labels, keep docs "
                          "predicted 'hq'; runs after the stat gates")
+    ap.add_argument("--min-tier", type=int, default=0, metavar="T",
+                    help="drop documents below this quality tier "
+                         "(0=junk..4=head, integer-exact boundaries; "
+                         "0 = off); runs with the cheap stat gates")
+    ap.add_argument("--source-cap", type=int, default=0, metavar="K",
+                    help="keep at most K best-scored docs per source "
+                         "host (megasite diversity cap; requires a "
+                         "'source' column in the input — falls back to "
+                         "a global top-K without one; 0 = off); runs "
+                         "on the deduped corpus")
     ap.add_argument("--semdedup", default=None, metavar="EMB_PARQUET",
                     help="embeddings parquet (vec_id=doc_id, embedding); "
                          "drop semantic near-dups (within-k-means-cluster "
@@ -141,7 +151,8 @@ def main() -> int:
     t0 = time.time()
     spark = get_spark("idp-curate", master=f"local[{args.cores}]",
                       shuffle_partitions=args.cores * 2)
-    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    raw = spark.read.parquet(args.input)
+    docs = raw.select("doc_id", "text")
     if args.fix_mojibake:
         # encoding repair precedes every signal (CCNet ordering): a
         # mojibake'd doc must not fail lang/quality gates for its bytes
@@ -200,6 +211,21 @@ def main() -> int:
         hq = ft_quality_gate_ids(gated, checkpoint_dir=args.checkpoint_dir)
         gated = gated.join(hq, "doc_id")
         n_quality_clf = gated.count()
+
+    n_tier = None
+    if args.min_tier:
+        # tier gate with the cheap stat gates: one linear scan per row
+        # (the tier CASE inlines the integer score into the filter —
+        # constant-factor re-evaluation, nothing quadratic)
+        from intelligent_document_processing_on_aws_spark.operators.tiers import (
+            quality_tiers,
+        )
+
+        tq = quality_tiers(gated).where(
+            F.col("tier") >= args.min_tier
+        ).select("doc_id")
+        gated = gated.join(tq, "doc_id")
+        n_tier = gated.count()
 
     n_word_gates = None
     if args.word_gates:
@@ -314,6 +340,22 @@ def main() -> int:
                          F.col("text_deduped").alias("text")),
             "doc_id",
         )
+    n_source_cap = None
+    if args.source_cap:
+        # per-source diversity cap on the deduped corpus (megasites
+        # must not dominate the mix); WindowGroupLimit prunes each
+        # partition to local top-K before the one shuffle
+        from intelligent_document_processing_on_aws_spark.operators.tiers import (
+            source_cap,
+        )
+
+        base = kept
+        if "source" in raw.columns:
+            base = kept.join(raw.select("doc_id", "source"), "doc_id")
+        cap_ids = source_cap(base, k=args.source_cap).select("doc_id")
+        kept = kept.join(cap_ids, "doc_id")
+        n_source_cap = kept.count()
+
     n_dsir = None
     if args.dsir_top_k:
         # DSIR selection (data selection proper) immediately before the
@@ -366,12 +408,14 @@ def main() -> int:
         "after_repetition": n_repetition,
         "after_compression": n_compression,
         "after_quality_classifier": n_quality_clf,
+        "after_tier_gate": n_tier,
         "after_word_gates": n_word_gates,
         "after_badwords": n_badwords,
         "after_c4": n_c4,
         "span_tokens_removed": n_span_removed,
         "after_semdedup": n_semdedup,
         "after_decontamination": n_decontaminated,
+        "after_source_cap": n_source_cap,
         "after_dsir": n_dsir,
         "after_sampling": n_sampled,
         "after_exact": n_exact,

@@ -135,3 +135,24 @@ def test_semdedup_deterministic_across_partitioning(spark):
         .collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_semdedup_empty_input_returns_empty_not_crash(spark):
+    """A fully pre-filtered funnel can hand semdedup ZERO embeddings
+    (e.g. every doc died at an earlier gate): the centroid build must
+    degrade to a 0-row index and the stage must return an empty drops
+    table, not raise from np.stack on an empty sample."""
+    from pyspark.sql import types as T
+
+    from intelligent_document_processing_on_aws_spark.operators.semdedup import (
+        semdedup,
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    empty = spark.createDataFrame([], schema)
+    out = semdedup(empty, threshold=0.9)
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "centroid", "dup_of", "cos_sim"}
