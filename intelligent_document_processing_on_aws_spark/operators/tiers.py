@@ -60,68 +60,16 @@ def _idiv(a: Column, b: Column) -> Column:
 
 def tier_score_ppm(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, source, n_tokens, score_ppm) — the integer composite of
-    the three textstats.quality_score components, in one map pass."""
-    c = F.coalesce(F.col(text_col), F.lit(""))
-    # tables without a host/source column (e.g. the curation funnel's
-    # (doc_id, text) slice) still tier; the cap then degenerates to a
-    # global top-k, which is what a single-source corpus means anyway
+    the three textstats.quality_score components, in one map pass.
+
+    Tables without a host/source column (e.g. the curation funnel's
+    (doc_id, text) slice) still tier; the cap then degenerates to a
+    global top-k, which is what a single-source corpus means anyway."""
     src = F.col("source") if "source" in docs.columns else F.lit("__all__")
-    staged = (
-        docs.select(
-            "doc_id",
-            src.alias("source"),
-            c.alias("__t"),
-            token_count(c).cast("bigint").alias("n_tokens"),
-            F.length(c).cast("bigint").alias("__n_chars"),
-            F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
-            .cast("bigint").alias("__n_punct"),
-        )
-        # the one interpreted HOF, staged alone so it runs once per row
-        .withColumn(
-            "__stop_hits",
-            F.size(
-                F.filter(
-                    F.transform(tokens(F.col("__t")), F.lower),
-                    lambda t: F.array_contains(
-                        F.array(*[F.lit(w) for w in STOPWORDS]), t),
-                )
-            ).cast("bigint"),
-        )
-        .withColumn(
-            "__len_ppm",
-            _idiv(F.lit(400_000) * F.least(F.col("n_tokens"), F.lit(256)),
-                  F.lit(256)),
-        )
-        .withColumn(
-            "__punct_ppm",
-            F.when(F.col("__n_chars") == 0, F.lit(0).cast("bigint")).otherwise(
-                _idiv(
-                    F.lit(300_000)
-                    * (F.col("__n_chars")
-                       - F.least(4 * F.col("__n_punct"), F.col("__n_chars"))),
-                    F.col("__n_chars"),
-                )
-            ),
-        )
-        .withColumn(
-            "__stop_ppm",
-            F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint")).otherwise(
-                _idiv(
-                    F.lit(300_000)
-                    * F.least(5 * F.col("__stop_hits"), F.col("n_tokens")),
-                    F.col("n_tokens"),
-                )
-            ),
-        )
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            (F.col("__len_ppm") + F.col("__punct_ppm") + F.col("__stop_ppm"))
-            .alias("score_ppm"),
-        )
+    slim = docs.select("doc_id", src.alias("source"), F.col(text_col))
+    return with_tier(slim, text_col).select(
+        "doc_id", "source", "n_tokens", "score_ppm"
     )
-    return staged
 
 
 def tier_of(score_ppm: Column) -> Column:
@@ -135,13 +83,79 @@ def tier_of(score_ppm: Column) -> Column:
 def quality_tiers(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc tier assignment:
     (doc_id, source, n_tokens, score_ppm, tier, tier_label)."""
-    labels = F.array(*[F.lit(lb) for lb in TIER_LABELS])
-    scored = tier_score_ppm(docs, text_col).withColumn(
-        "tier", tier_of(F.col("score_ppm"))
+    src = F.col("source") if "source" in docs.columns else F.lit("__all__")
+    slim = docs.select("doc_id", src.alias("source"), F.col(text_col))
+    return with_tier(slim, text_col).select(
+        "doc_id", "source", "n_tokens", "score_ppm", "tier", "tier_label"
     )
-    return scored.withColumn(
-        "tier_label", F.element_at(labels, F.col("tier") + 1)
+
+
+def with_tier(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append (n_tokens, score_ppm, tier, tier_label) to ALL of the
+    input's columns — no join, one map pass — so callers can write the
+    corpus partitioned by tier without a second scan. The input must
+    not already carry those four column names. The one interpreted HOF
+    (stopword membership) is staged alone so CollapseProject leaves it
+    evaluated once per row; unused outputs are pruned by Catalyst when
+    a caller selects a subset."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    staged = (
+        docs
+        .withColumn("n_tokens", token_count(c).cast("bigint"))
+        .withColumn("__nc", F.length(c).cast("bigint"))
+        .withColumn(
+            "__np",
+            F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", "")).cast("bigint"),
+        )
+        .withColumn(
+            "__sh",
+            F.size(
+                F.filter(
+                    F.transform(tokens(c), F.lower),
+                    lambda t: F.array_contains(
+                        F.array(*[F.lit(w) for w in STOPWORDS]), t),
+                )
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "score_ppm",
+            _idiv(F.lit(400_000) * F.least(F.col("n_tokens"), F.lit(256)),
+                  F.lit(256))
+            + F.when(F.col("__nc") == 0, F.lit(0).cast("bigint")).otherwise(
+                _idiv(F.lit(300_000)
+                      * (F.col("__nc")
+                         - F.least(4 * F.col("__np"), F.col("__nc"))),
+                      F.col("__nc")))
+            + F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint")).otherwise(
+                _idiv(F.lit(300_000)
+                      * F.least(5 * F.col("__sh"), F.col("n_tokens")),
+                      F.col("n_tokens"))),
+        )
+        .withColumn("tier", tier_of(F.col("score_ppm")))
+        .withColumn(
+            "tier_label",
+            F.element_at(F.array(*[F.lit(lb) for lb in TIER_LABELS]),
+                         F.col("tier") + 1),
+        )
+        .drop("__nc", "__np", "__sh")
     )
+    return staged
+
+
+def write_tiered(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Write the corpus Hive-partitioned by tier_label (dynamic
+    partitioning — one directory per tier). A mix designer then reads
+    a single tier with partition PRUNING: `read.parquet(path).where(
+    tier_label = 'head')` scans only head/ files, never the other 4/5
+    of a 100-TB corpus. Scoring is the same map-only pass as
+    quality_tiers, fused into the write — no extra scan, no join."""
+    with_tier(docs, text_col).write.mode(mode).partitionBy(
+        "tier_label").parquet(path)
 
 
 def tier_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:

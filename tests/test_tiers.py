@@ -149,3 +149,84 @@ def test_tiers_plan_shapes(spark):
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_quality_tiers_is_streaming_compatible(spark, tmp_path):
+    """Tier assignment is stateless and map-only, so the same operator
+    runs unchanged under readStream in append mode (the shape for
+    tiering a live crawl as it lands) and assigns identical tiers to
+    the batch path."""
+    from intelligent_document_processing_on_aws_spark.operators.tiers import (
+        quality_tiers,
+    )
+
+    src = str(tmp_path / "docs_in")
+    rows = [
+        (1, "s0", "zzz " * 192),
+        (2, "s0", "the cat sat on the mat and it is that good"),
+        (3, "s1", "a b !!! ??? ;;;"),
+        (4, "s1", ""),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.parquet(src)
+
+    schema = "doc_id long, source string, text string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        quality_tiers(stream)
+        .writeStream.format("memory")
+        .queryName("tiers_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: (r["score_ppm"], r["tier"], r["tier_label"])
+            for r in spark.sql("select * from tiers_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        r["doc_id"]: (r["score_ppm"], r["tier"], r["tier_label"])
+        for r in quality_tiers(spark.read.parquet(src)).collect()
+    }
+    assert got == batch and len(got) == 4
+
+
+def test_write_tiered_partitions_and_pruning(spark, tmp_path):
+    """write_tiered lands one Hive directory per tier_label; reading a
+    single tier back prunes partitions (the scan's PartitionFilters
+    carry the tier predicate) and returns exactly the docs
+    quality_tiers assigns to that tier."""
+    from intelligent_document_processing_on_aws_spark.operators.tiers import (
+        quality_tiers,
+        write_tiered,
+    )
+    import os
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "tiered")
+    write_tiered(docs, out)
+
+    expect = {}
+    for r in quality_tiers(docs).collect():
+        expect.setdefault(r["tier_label"], set()).add(r["doc_id"])
+    dirs = {
+        d.split("=", 1)[1]
+        for d in os.listdir(out)
+        if d.startswith("tier_label=")
+    }
+    assert dirs == set(expect)
+
+    back = spark.read.parquet(out)
+    one = back.where(F.col("tier_label") == "mid")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tier_label" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    assert {r["doc_id"] for r in one.select("doc_id").collect()} \
+        == expect["mid"]
+    # full round-trip keeps every doc exactly once
+    assert back.count() == docs.count()
