@@ -45,6 +45,7 @@ from intelligent_document_processing_on_aws_spark.entry_queries import (  # noqa
     q_quality_classifier,
     q_section_attributes,
     q_source_cap,
+    q_tier_mix,
     q_tier_rollup,
 )
 from intelligent_document_processing_on_aws_spark.operators.dedup import (  # noqa: E402
@@ -135,6 +136,7 @@ def main() -> int:
           .agg(F.avg("top2gram_char_fraction"),
                F.avg("dup5gram_char_fraction")).collect())
     timed("tier_rollup", lambda: q_tier_rollup(spark, sf_dir).collect())
+    timed("tier_mix", lambda: q_tier_mix(spark, sf_dir).collect())
     timed("source_cap", lambda: q_source_cap(spark, sf_dir).count())
     timed("extract_xls", lambda: q_extract_xls(spark, sf_dir).count())
     timed("image_resize", lambda: q_image_resize(spark, sf_dir).count())

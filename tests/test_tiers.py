@@ -230,3 +230,45 @@ def test_write_tiered_partitions_and_pruning(spark, tmp_path):
         == expect["mid"]
     # full round-trip keeps every doc exactly once
     assert back.count() == docs.count()
+
+
+def test_tier_job_cli(tmp_path):
+    """jobs/tier.py end-to-end: tier-partitioned layout on disk, rollup
+    counts in the JSON line, and (with --mix-budget) temperature rates
+    that up-weight scarce tiers over fat ones."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "tiered")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "tier.py"),
+         "--input", "/root/testdata/sf0.01/documents.parquet",
+         "--output", out, "--mix-budget", "8000", "--cores", "4"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1])
+    assert stats["docs"] == 500
+    assert sum(v["docs"] for v in stats["tiers"].values()) == 500
+
+    # disk layout: one Hive dir per reported tier, independently readable
+    dirs = {d.split("=", 1)[1] for d in os.listdir(out)
+            if d.startswith("tier_label=")}
+    assert dirs == set(stats["tiers"])
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/*/*.parquet')"
+    ).fetchone()[0]
+    assert n == 500
+
+    # scarce tiers sample at a higher rate than the fat mid tier
+    rates = stats["mix_rates_ppm"]
+    fat = max(stats["tiers"], key=lambda k: stats["tiers"][k]["tokens"])
+    scarce = min(stats["tiers"], key=lambda k: stats["tiers"][k]["tokens"])
+    assert rates[scarce] > rates[fat]
