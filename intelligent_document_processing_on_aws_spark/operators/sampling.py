@@ -138,6 +138,37 @@ def temperature_mix_rates(
     )
 
 
+def host_split(
+    df: DataFrame,
+    val_ppm: int = 10_000,
+    seed: str = "split-42",
+    host_col: str = "source",
+) -> DataFrame:
+    """Leakage-free train/validation split at HOST granularity.
+
+    Every document of a host lands in the SAME split (the split key is
+    the host, not the doc), so near-duplicates within a site — boiler-
+    plate variants, templated pages, mirrored articles — can never
+    straddle train/val. Document-level random splits leak exactly this
+    way; host-disjoint hold-outs are the standard web-corpus fix
+    (the FineWeb/DCLM evaluation-design concern).
+
+    The assignment is `md5-le64(seed:host) % 1e6 < val_ppm` — a pure
+    integer function of the row, so re-runs, retries and any
+    partitioning agree bit-for-bit, and a LATER crawl of the same host
+    joins the same split (split stability across snapshots is what
+    makes the val set reusable). Appends a `split` column
+    ('val'|'train'); map-only, zero shuffles, zero Python.
+    """
+    bucket = sample_bucket_ppm(F.col(host_col), seed)
+    return df.withColumn(
+        "split",
+        F.when(bucket < int(val_ppm), F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     stratum_col: str,

@@ -176,3 +176,39 @@ def test_temperature_sample_applies_derived_rates_exactly(spark):
         < rates["big" if i < 1000 else "small"]
     )
     assert got == expect
+
+
+def test_host_split_is_host_atomic_and_stable(spark):
+    """host_split: every host lands wholly in one split (no doc-level
+    leakage), both splits are populated at a 25% val rate, the
+    assignment is a pure function of (seed, host) — stable across
+    repartitioning — and the plan is map-only (zero Exchange, zero
+    Python)."""
+    from intelligent_document_processing_on_aws_spark.operators.sampling import (
+        host_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"host{i % 40}.example") for i in range(400)],
+        ["doc_id", "source"],
+    )
+    out = host_split(docs, val_ppm=250_000)
+
+    rows = out.collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in by_host.values())  # host-atomic
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val"}
+
+    # partitioning-independence: same assignment after a repartition
+    again = {
+        (r["doc_id"], r["split"])
+        for r in host_split(docs.repartition(13), val_ppm=250_000).collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
