@@ -71,6 +71,7 @@ def dsir_weights(
     text_col: str = "text",
     top_k: int = 100,
     hash_buckets: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_grams, dsir_score, selected) for EVERY input doc.
 
@@ -97,6 +98,15 @@ def dsir_weights(
     dcounts = base.groupBy("doc_id", "is_target", "feat").agg(
         F.sum(F.when(F.col("feat").isNotNull(), 1).otherwise(0)).alias("c")
     )
+    # the gram table feeds FOUR downstream plan arms (corpus/target
+    # feature counts, the score join, and both evaluations of `scored`
+    # via the top-k threshold branch); without truncation Spark
+    # re-explodes and re-shuffles the interpreted-HOF bigram projection
+    # once per arm — at 100 TB that is four corpus scans instead of one
+    # (same one-shot discipline as the dedup signature tables)
+    from .dedup import _truncate_lineage
+
+    dcounts = _truncate_lineage(dcounts, checkpoint_dir, eager=False)
     fcounts = (
         dcounts.where(F.col("feat").isNotNull())
         .groupBy("feat")
@@ -130,6 +140,9 @@ def dsir_weights(
             (F.col("raw") - F.col("n_grams") * F.col("norm")).alias("dsir_score"),
         )
     )
+    # scored is consumed twice (threshold derivation + final compare);
+    # truncate so the join/agg chain above runs once
+    scored = _truncate_lineage(scored, checkpoint_dir, eager=False)
     # k-th threshold via distributed TakeOrdered: the limit(k) set's last
     # element under (score DESC, id ASC) is max(struct(-score, id))
     thr = (

@@ -376,6 +376,7 @@ def main() -> int:
             target_cond=F.col("lang_guess").isin(tlangs),
             top_k=args.dsir_top_k,
             hash_buckets=1 << 18,
+            checkpoint_dir=args.checkpoint_dir,
         ).where("selected").select("doc_id")
         kept = kept.join(sel, "doc_id")
         n_dsir = kept.count()
