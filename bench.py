@@ -38,6 +38,7 @@ from intelligent_document_processing_on_aws_spark.entry_queries import (  # noqa
     q_lang_classifier,
     q_line_dedup,
     q_lm_perplexity,
+    q_perplexity_tiers,
     q_mojibake_repair,
     q_semdedup,
     q_substring_dedup,
@@ -147,6 +148,8 @@ def main() -> int:
           .agg(F.avg(F.col("agrees").cast("double"))).collect())
     timed("lm_perplexity", lambda: q_lm_perplexity(spark, sf_dir)
           .agg(F.sum("n_bigrams"), F.avg("ppl")).collect())
+    timed("perplexity_tiers", lambda: q_perplexity_tiers(spark, sf_dir)
+          .groupBy("ppl_tier").count().collect())
     timed("line_dedup", lambda: q_line_dedup(spark, sf_dir)
           .agg(F.sum("n_removed")).collect())
     timed("substring_dedup", lambda: q_substring_dedup(spark, sf_dir)

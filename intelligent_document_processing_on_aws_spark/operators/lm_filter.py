@@ -126,17 +126,29 @@ def train_bigram_lm(train_docs: DataFrame, text_col: str = "text") -> BigramLM:
 
 
 def score_perplexity(
-    docs: DataFrame, lm: BigramLM, text_col: str = "text"
+    docs: DataFrame, lm: BigramLM, text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, n_bigrams, avg_nll_micro, ppl, ppl_bucket) for every doc.
 
     One Arrow mapInPandas pass with the broadcast model — map-only,
     zero shuffles. Documents with < 2 tokens have no bigrams: they get
     NULL avg/ppl and bucket 'empty' (CCNet drops them outright).
+
+    carry_cols: extra input columns passed through to the output
+    unchanged (appended after the score columns) — cheaper than a
+    corpus-size join-back when a caller needs e.g. the language column
+    next to the score.
     """
     spark = docs.sparkSession
     lm_bc = spark.sparkContext.broadcast(lm)
-    src = docs.select("doc_id", F.col(text_col).alias("__text"))
+    schema = T.StructType(
+        list(SCORE_SCHEMA.fields)
+        + [docs.schema[c] for c in carry_cols]
+    )
+    src = docs.select(
+        "doc_id", F.col(text_col).alias("__text"), *carry_cols
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model: BigramLM = lm_bc.value
@@ -167,9 +179,12 @@ def score_perplexity(
                     else "middle" if avg <= MIDDLE_MAX_AVG_NLL_MICRO
                     else "tail"
                 )
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            for c in carry_cols:  # one output row per input row, in order
+                res[c] = pdf[c].values
+            yield res
 
-    return src.mapInPandas(run, SCORE_SCHEMA)
+    return src.mapInPandas(run, schema)
 
 
 def lm_perplexity(
@@ -184,6 +199,80 @@ def lm_perplexity(
     train = docs.where(F.col("doc_id") % train_modulus == 0)
     lm = train_bigram_lm(train, text_col)
     return score_perplexity(docs, lm, text_col)
+
+
+def perplexity_tiers(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    train_modulus: int = 10,
+    sample_ppm: int = 400_000,
+    seed: str = "ppltier-42",
+) -> DataFrame:
+    """CCNet §3.3 proper: per-LANGUAGE head/middle/tail terciles with
+    DATA-DERIVED cutoffs (score_perplexity's fixed constants are the
+    offline-derived stand-in; this derives the thresholds from the
+    corpus itself, per language, the way CCNet buckets each dump).
+
+    Scale shape — rank-based tiering WITHOUT sorting the corpus: the
+    tercile cutoffs come from a bounded deterministic hash sample
+    (``sample_ppm``; md5-le64(seed:doc_id), rerun/partitioning-stable).
+    Only the sample is window-sorted, yielding a 2-values-per-language
+    cutoff table that is BROADCAST back; corpus-side assignment is a
+    map-only compare. A naive ``ntile(3) over (partition by lang)``
+    would ship ~90% of a web corpus into the single 'en' sort partition
+    — this never shuffles the corpus at all. Cutoffs are exact order
+    statistics of the sample (value at rank ceil(n/3) / ceil(2n/3)),
+    so they are integers and the assignment is integer-exact.
+
+    Tiers: head (avg_nll <= c33), middle (<= c66), tail; 'empty' for
+    <2-token docs; 'untiered' when the language never hit the sample
+    (no cutoffs exist — callers route those to a fallback gate).
+    """
+    from pyspark.sql import Window
+
+    from .sampling import sample_bucket_ppm
+
+    train = docs.where(F.col("doc_id") % train_modulus == 0)
+    lm = train_bigram_lm(train, text_col)
+    scored = score_perplexity(docs, lm, text_col, carry_cols=(lang_col,))
+
+    samp = scored.where(
+        F.col("avg_nll_micro").isNotNull()
+        & (sample_bucket_ppm(F.col("doc_id"), seed) < sample_ppm)
+    )
+    w = Window.partitionBy(lang_col).orderBy("avg_nll_micro", "doc_id")
+    ranked = samp.select(
+        lang_col,
+        "avg_nll_micro",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy(lang_col)).alias("n"),
+    )
+    cuts = ranked.groupBy(lang_col).agg(
+        F.max(
+            F.when(F.expr("r <= (n + 2) div 3"), F.col("avg_nll_micro"))
+        ).alias("c33"),
+        F.max(
+            F.when(F.expr("r <= (2 * n + 2) div 3"), F.col("avg_nll_micro"))
+        ).alias("c66"),
+    )
+    tier = (
+        F.when(F.col("avg_nll_micro").isNull(), F.lit("empty"))
+        .when(F.col("c33").isNull(), F.lit("untiered"))
+        .when(F.col("avg_nll_micro") <= F.col("c33"), F.lit("head"))
+        .when(F.col("avg_nll_micro") <= F.col("c66"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(cuts), lang_col, "left")
+        .select(
+            "doc_id",
+            lang_col,
+            "n_bigrams",
+            "avg_nll_micro",
+            tier.alias("ppl_tier"),
+        )
+    )
 
 
 def perplexity_keep_ids(

@@ -136,3 +136,77 @@ def test_scoring_deterministic_across_partitioning(spark):
         .collect()
     )
     assert a == b
+
+
+def test_perplexity_tiers_terciles_and_edges(spark):
+    """Data-derived per-language terciles: with sample_ppm=1e6 (sample =
+    all valid docs) each language splits ~n/3 per tier by construction;
+    <2-token docs land in 'empty'; a language whose docs never hit the
+    sample lands in 'untiered'."""
+    from intelligent_document_processing_on_aws_spark.operators.lm_filter import (
+        perplexity_tiers,
+    )
+
+    rows = []
+    # 9 english docs with strictly increasing gibberish (higher nll)
+    for i in range(9):
+        fluent = "the cat sat on the mat " * 3
+        noise = " ".join(f"zz{i}q{j}" for j in range(i * 2))
+        rows.append((i, "en", (fluent + " " + noise).strip()))
+    rows.append((100, "en", "single"))        # 1 token -> empty
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+    rows_out = perplexity_tiers(
+        docs, train_modulus=3, sample_ppm=1_000_000
+    ).collect()
+    out = {r["doc_id"]: r["ppl_tier"] for r in rows_out}
+    assert out[100] == "empty"
+
+    # independent re-derivation of the exact order-statistic cutoffs
+    # (value at rank ceil(n/3) / ceil(2n/3) of the sorted sample) from
+    # the operator's own integer scores
+    valid = sorted(
+        (r for r in rows_out if r["avg_nll_micro"] is not None),
+        key=lambda r: (r["avg_nll_micro"], r["doc_id"]),
+    )
+    n = len(valid)
+    assert n == 9
+    c33 = valid[(n + 2) // 3 - 1]["avg_nll_micro"]
+    c66 = valid[(2 * n + 2) // 3 - 1]["avg_nll_micro"]
+    for r in valid:
+        want = ("head" if r["avg_nll_micro"] <= c33
+                else "middle" if r["avg_nll_micro"] <= c66 else "tail")
+        assert out[r["doc_id"]] == want
+    assert {out[r["doc_id"]] for r in valid} == {"head", "middle", "tail"}
+
+    # a language absent from the sample: sample_ppm=0 -> every scored
+    # doc is untiered (no cutoffs exist for any language)
+    out0 = perplexity_tiers(docs, train_modulus=3, sample_ppm=0)
+    vals = {r["ppl_tier"] for r in out0.collect()}
+    assert vals == {"untiered", "empty"}
+
+
+def test_perplexity_tiers_corpus_never_sorted(spark):
+    """Plan shape: the corpus-side assignment is scan -> Arrow score ->
+    BroadcastHashJoin. Sorts/Exchanges exist only on the bounded-sample
+    cutoff branch; the scored corpus must reach the join without any
+    Exchange or Sort of its own (a per-lang ntile would globally sort
+    the corpus)."""
+    from intelligent_document_processing_on_aws_spark.operators.lm_filter import (
+        perplexity_tiers,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        perplexity_tiers(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # corpus side of the broadcast join: everything after the join node
+    # until the BroadcastExchange subtree; cheap structural check — the
+    # full plan may contain exactly the sample branch's Exchanges (one
+    # hash for the window, one for the groupBy) and its window Sort,
+    # but no SortMergeJoin and no global Sort on the streamed side
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") == 1
+    assert "BatchEvalPython" not in plan
