@@ -117,6 +117,11 @@ def main() -> int:
                     help="drop documents below this quality tier "
                          "(0=junk..4=head, integer-exact boundaries; "
                          "0 = off); runs with the cheap stat gates")
+    ap.add_argument("--ppl-keep", default=None, metavar="TIERS",
+                    help="comma list of per-language perplexity "
+                         "terciles to keep (CCNet: 'head,middle'); "
+                         "data-derived cutoffs, corpus never sorted "
+                         "(off by default)")
     ap.add_argument("--source-cap", type=int, default=0, metavar="K",
                     help="keep at most K best-scored docs per source "
                          "host (megasite diversity cap; requires a "
@@ -226,6 +231,27 @@ def main() -> int:
         ).select("doc_id")
         gated = gated.join(tq, "doc_id")
         n_tier = gated.count()
+
+    n_ppl = None
+    if args.ppl_keep:
+        # CCNet per-language perplexity terciles: bigram LM on the
+        # deterministic reference slice, data-derived tercile cutoffs
+        # from a bounded hash sample, map-only assignment — keep the
+        # requested tiers per language (CCNet keeps head+middle)
+        from intelligent_document_processing_on_aws_spark.operators.lm_filter import (
+            perplexity_tiers,
+        )
+
+        keep_tiers = [s.strip() for s in args.ppl_keep.split(",")
+                      if s.strip()]
+        with_lang = gated.join(
+            stats.select("doc_id", "lang_guess"), "doc_id"
+        )
+        pt = perplexity_tiers(with_lang, lang_col="lang_guess").where(
+            F.col("ppl_tier").isin(keep_tiers)
+        ).select("doc_id")
+        gated = gated.join(pt, "doc_id")
+        n_ppl = gated.count()
 
     n_word_gates = None
     if args.word_gates:
@@ -410,6 +436,7 @@ def main() -> int:
         "after_compression": n_compression,
         "after_quality_classifier": n_quality_clf,
         "after_tier_gate": n_tier,
+        "after_ppl_tiers": n_ppl,
         "after_word_gates": n_word_gates,
         "after_badwords": n_badwords,
         "after_c4": n_c4,

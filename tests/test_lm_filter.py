@@ -210,3 +210,30 @@ def test_perplexity_tiers_corpus_never_sorted(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastExchange") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_curate_job_ppl_keep_flag(tmp_path):
+    """jobs/curate.py --ppl-keep head,middle: per-language tercile gate
+    keeps ~2/3 of the survivors (terciles by construction) and reports
+    the stage count."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "curated")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "curate.py"),
+         "--input", "/root/testdata/sf0.01/documents.parquet",
+         "--output", out, "--ppl-keep", "head,middle", "--cores", "4"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1])
+    n_in = stats["after_repetition"]
+    n_ppl = stats["after_ppl_tiers"]
+    # two of three terciles, +/- boundary ties and untiered/empty rows
+    assert 0.55 * n_in <= n_ppl <= 0.78 * n_in
+    assert stats["kept"] <= n_ppl
