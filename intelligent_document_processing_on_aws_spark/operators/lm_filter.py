@@ -208,6 +208,7 @@ def perplexity_tiers(
     train_modulus: int = 10,
     sample_ppm: int = 400_000,
     seed: str = "ppltier-42",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """CCNet §3.3 proper: per-LANGUAGE head/middle/tail terciles with
     DATA-DERIVED cutoffs (score_perplexity's fixed constants are the
@@ -235,7 +236,9 @@ def perplexity_tiers(
 
     train = docs.where(F.col("doc_id") % train_modulus == 0)
     lm = train_bigram_lm(train, text_col)
-    scored = score_perplexity(docs, lm, text_col, carry_cols=(lang_col,))
+    scored = score_perplexity(
+        docs, lm, text_col, carry_cols=(lang_col,) + tuple(carry_cols)
+    )
 
     samp = scored.where(
         F.col("avg_nll_micro").isNotNull()
@@ -271,6 +274,7 @@ def perplexity_tiers(
             "n_bigrams",
             "avg_nll_micro",
             tier.alias("ppl_tier"),
+            *carry_cols,
         )
     )
 
