@@ -446,3 +446,34 @@ def test_semdedup_plan_cluster_join_no_row_python(spark):
     assert "MapInPandas" in plan            # the Arrow assignment pass
     assert "CartesianProduct" not in plan   # pair stage keyed on centroid
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round5_tier_family_plans(spark):
+    """Central audit for the r5 tier family: tier_mix's corpus side is a
+    broadcast-rate compare (no wide shuffle of the corpus), host_split
+    is map-only, perplexity_tiers/tier_agreement never sort or
+    SortMergeJoin the corpus, and none of them run row-at-a-time
+    Python."""
+    from intelligent_document_processing_on_aws_spark.entry_queries import (
+        q_host_split,
+        q_perplexity_tiers,
+        q_tier_agreement,
+        q_tier_mix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    hs = _plan(q_host_split(spark, sf))
+    assert "Exchange" not in hs and "BatchEvalPython" not in hs
+
+    tm = _plan(q_tier_mix(spark, sf))
+    # rate table broadcasts back; the corpus-side filter is a codegen'd
+    # md5-bucket compare — no SortMergeJoin anywhere
+    assert "BroadcastHashJoin" in tm and "SortMergeJoin" not in tm
+    assert "BatchEvalPython" not in tm and "MapInPandas" not in tm
+
+    for q in (q_perplexity_tiers, q_tier_agreement):
+        p = _plan(q(spark, sf))
+        assert "SortMergeJoin" not in p, q.__name__
+        assert p.count("BroadcastExchange") == 1, q.__name__
+        assert "BatchEvalPython" not in p, q.__name__
