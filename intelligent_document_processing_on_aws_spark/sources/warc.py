@@ -222,6 +222,111 @@ def build_cdx(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(run, CDX_SCHEMA)
 
 
+REVISIT_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("profile", T.StringType()),
+        T.StructField("payload_digest", T.StringType()),
+        T.StructField("refers_to", T.StringType()),
+        T.StructField("refers_to_uri", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def read_warc_revisits(spark: SparkSession, path: str) -> DataFrame:
+    """Revisit records only — Common Crawl's cross-crawl dedup pointers.
+
+    A revisit record (WARC 1.0 §6.7, profile identical-payload-digest)
+    asserts "this capture's payload is byte-identical to an earlier
+    capture" and carries the payload's sha1-b32 digest instead of the
+    body; in recent Common Crawl monthlies a large fraction of captures
+    arrive this way. Same map-only shape as read_warc: the file is the
+    parallel unit, one Arrow pass per file."""
+    from ..kernels.warc import iter_warc_records_lenient
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path_val, content in zip(pdf["path"], pdf["content"]):
+                rows = {f.name: [] for f in REVISIT_SCHEMA.fields}
+                base = os.path.basename(str(path_val))
+
+                def emit(**kw):
+                    for f in REVISIT_SCHEMA.fields:
+                        rows[f.name].append(kw.get(f.name))
+
+                for headers, body, err in iter_warc_records_lenient(
+                        bytes(content)):
+                    if err is not None:
+                        emit(warc_file=base, error=err)
+                        continue
+                    if headers.get("warc-type") != "revisit":
+                        continue
+                    emit(
+                        warc_file=base,
+                        record_id=headers.get("warc-record-id"),
+                        url=headers.get("warc-target-uri"),
+                        warc_date=headers.get("warc-date"),
+                        profile=headers.get("warc-profile"),
+                        payload_digest=headers.get("warc-payload-digest"),
+                        refers_to=headers.get("warc-refers-to"),
+                        refers_to_uri=headers.get(
+                            "warc-refers-to-target-uri"),
+                    )
+                if rows["warc_file"]:
+                    yield pd.DataFrame(rows)
+
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+    return files.mapInPandas(run, REVISIT_SCHEMA)
+
+
+def resolve_revisits(revisits: DataFrame, cdx: DataFrame) -> DataFrame:
+    """Resolve revisit records against a capture index (build_cdx
+    output): for each revisit, find the earlier capture whose
+    (payload digest, url) matches and name its fetchable span — the
+    Common-Crawl access pattern (revisit -> cc-index lookup -> ranged
+    fetch of the referred bytes via fetch_records). Ties (the same
+    url+digest captured more than once) resolve to the EARLIEST ts,
+    then lexicographic filename/offset — deterministic min-witness.
+
+    Output: every revisit row + (resolved, capture_ts, capture_file,
+    capture_offset, capture_length). Digest-less revisits (profile
+    server-not-modified) and digests never captured stay unresolved
+    with NULL capture columns — an audit row, never a silent drop.
+
+    100-TB shape: one equi-shuffle join on (digest, url) between the
+    revisit table and the (small, columnar) index — the archive itself
+    is never touched; only spans a caller then fetches are read."""
+    cap = cdx.select(
+        F.col("digest").alias("__digest"),
+        F.col("url").alias("__url"),
+        F.struct(
+            F.col("ts").alias("ts"),
+            F.col("filename").alias("filename"),
+            F.col("offset").alias("offset"),
+            F.col("length").alias("length"),
+        ).alias("__cap"),
+    ).groupBy("__digest", "__url").agg(F.min("__cap").alias("__cap"))
+    joined = revisits.join(
+        cap,
+        (revisits["payload_digest"] == cap["__digest"])
+        & (revisits["url"] == cap["__url"]),
+        "left",
+    )
+    return joined.select(
+        *[F.col(f.name) for f in revisits.schema.fields],
+        F.col("__cap").isNotNull().alias("resolved"),
+        F.col("__cap.ts").alias("capture_ts"),
+        F.col("__cap.filename").alias("capture_file"),
+        F.col("__cap.offset").alias("capture_offset"),
+        F.col("__cap.length").alias("capture_length"),
+    )
+
+
 def fetch_records(selected: DataFrame, emit_text: bool = True) -> DataFrame:
     """Ranged fetch of SELECTED captures only — the Common-Crawl access
     pattern: never rescan the archive; read exactly the (offset, length)
