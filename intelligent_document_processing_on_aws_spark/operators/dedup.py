@@ -454,6 +454,51 @@ def duplicate_groups(
     )
 
 
+def canonical_selection(
+    groups: DataFrame,
+    docs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-weighted canonical selection: keep the BEST member of each
+    duplicate group, not the lowest id.
+
+    Production pipelines (RefinedWeb, Dolma) pick the highest-quality
+    member of a near-dup cluster as the survivor — keeping the longest /
+    highest-scored capture beats keeping an arbitrary one. `groups` is
+    duplicate_groups() output; `docs` supplies a numeric `quality_col`
+    (length, quality score, perplexity negation — caller's choice).
+    Ties break to the lowest doc_id so the result is deterministic.
+
+    Output: (doc_id, group_id, group_size, canonical_id, keep) — `keep`
+    marks the one survivor per group.
+
+    Shape: one shuffle total. The score join is doc_id-equi (groups and
+    docs are both keyed by it), then a single window over group_id computes
+    the per-group argmax via running first_value — no second agg+join pass.
+    Groups are near-cliques (bounded size), so the window partition can
+    never be skewed by a hot key beyond the largest dup cluster.
+    """
+    scored = groups.join(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(quality_col).alias("__q")),
+        "doc_id",
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("__q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("canonical_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "group_id",
+            "group_size",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+        )
+    )
+
+
 def repeated_passages(
     docs: DataFrame,
     n: int = 5,

@@ -372,6 +372,38 @@ def test_duplicate_groups_long_chain_converges(spark):
     assert all(r.group_id == 0 and r.group_size == n for r in rows)
 
 
+def test_canonical_selection_keeps_best_member(spark):
+    """Quality-weighted survivor: the highest-quality member of each
+    group is canonical (not the lowest id); ties break to the lowest
+    doc_id; singletons are their own canonical with keep=True."""
+    from intelligent_document_processing_on_aws_spark.operators.dedup import (
+        canonical_selection,
+        duplicate_groups,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "doc_id_a long, doc_id_b long"
+    )
+    groups = duplicate_groups(docs, pairs)
+    # group {1,3,5}: best quality at 5; group {2,6}: tie -> lowest id 2
+    quality = spark.createDataFrame(
+        [(0, 10), (1, 5), (2, 7), (3, 8), (4, 1), (5, 9), (6, 7)],
+        "doc_id long, quality long",
+    )
+    rows = {r.doc_id: r
+            for r in canonical_selection(groups, quality, "quality").collect()}
+    assert len(rows) == 7
+    assert all(rows[d].canonical_id == 5 for d in (1, 3, 5))
+    assert rows[5].keep and not rows[1].keep and not rows[3].keep
+    assert rows[2].canonical_id == 2 and rows[6].canonical_id == 2
+    assert rows[2].keep and not rows[6].keep
+    assert rows[0].keep and rows[0].canonical_id == 0
+    assert rows[4].keep and rows[4].canonical_id == 4
+    # exactly one survivor per group
+    assert sum(1 for r in rows.values() if r.keep) == 4
+
+
 def test_repeated_passages_boilerplate_detection(spark):
     """Passages repeated across >= min_df docs surface with exact df;
     within-doc repetition counts once (document frequency, not term

@@ -273,6 +273,29 @@ def test_round5_webfilter_plans(spark):
     assert plan.count("MapInPandas") == 1
 
 
+def test_canonical_selection_plan_one_window_no_python(spark):
+    """canonical_selection stays relational: the argmax-per-group is a
+    single Window over group_id (running first_value), never an agg+join
+    second pass and never Python — downstream of the score join there is
+    exactly one group_id Exchange feeding one Window."""
+    from intelligent_document_processing_on_aws_spark.operators.dedup import (
+        canonical_selection,
+    )
+
+    groups = spark.createDataFrame(
+        [(1, 1, 2, True), (2, 1, 2, False)],
+        "doc_id long, group_id long, group_size long, is_duplicate boolean")
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 20)], "doc_id long, quality long")
+    plan = _plan(canonical_selection(groups, quality, "quality"))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert plan.count("Window") == 1, plan[:1500]
+    # shuffles: the doc_id equi-join sides + ONE group_id partitioning for
+    # the window — no extra agg/join round-trip for the argmax
+    assert plan.count("hashpartitioning(group_id") == 1, plan[:2000]
+
+
 def test_round5_semantic_lookup_hashed_join_key(spark):
     """The SEMANTIC embeddings lookup joins on xxhash64(text) — an 8-byte
     bigint shuffle key — with the raw-string equality kept only as a
