@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from intelligent_document_processing_on_aws_spark.operators.dedup import (  # noqa: E402
+    canonical_selection,
     duplicate_groups,
     minhash_lsh_pairs,
 )
@@ -39,6 +40,10 @@ def main() -> int:
     ap.add_argument("--checkpoint-dir", default=None, metavar="DIR_OR_URI",
                     help="reliable checkpoint dir (HDFS/S3/local) for the "
                          "iterative stages; default localCheckpoint")
+    ap.add_argument("--keep-best", action="store_true",
+                    help="survive the LONGEST member of each dup group "
+                         "(quality-weighted canonical, RefinedWeb-style) "
+                         "instead of the lowest doc_id")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -49,6 +54,12 @@ def main() -> int:
                               checkpoint_dir=args.checkpoint_dir)
     groups = duplicate_groups(docs, pairs,
                               checkpoint_dir=args.checkpoint_dir)
+    if args.keep_best:
+        scored = docs.select(
+            "doc_id", F.length("text").cast("long").alias("quality"))
+        groups = canonical_selection(groups, scored, "quality").select(
+            "doc_id", "group_id", "group_size", "canonical_id",
+            (~F.col("keep")).alias("is_duplicate"))
     groups.write.mode("overwrite").parquet(os.path.join(args.output, "groups"))
 
     groups_r = spark.read.parquet(os.path.join(args.output, "groups"))
