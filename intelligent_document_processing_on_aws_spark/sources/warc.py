@@ -88,9 +88,10 @@ def read_warc(spark: SparkSession, path: str,
                         "url": headers.get("warc-target-uri"),
                         "warc_date": headers.get("warc-date"),
                     }
-                    if rtype == "conversion":
-                        # WET records: the body IS the text payload (no
-                        # HTTP envelope); Content-Type is a WARC header
+                    if rtype in ("conversion", "metadata"):
+                        # WET/WAT records: the body IS the payload (text
+                        # or the JSON envelope — no HTTP envelope);
+                        # Content-Type is a WARC header
                         ct = headers.get("content-type")
                         text = charset = None
                         if emit_text:
@@ -453,6 +454,121 @@ def write_wet(
             _os.replace(                            # atomic publish
                 _os.path.join(out_dir, f".wet-{pid:05d}.tmp"),
                 _os.path.join(out_dir, f"wet-{pid:05d}.warc.gz"))
+        yield count
+
+    return sum(rows.rdd.mapPartitions(write_part).collect())
+
+
+_WAT_TITLE_RE = r"(?i)<title[^>]*>([^<]*)</title>"
+
+
+def wat_metadata(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    date_col: str | None = None,
+) -> DataFrame:
+    """Per-page link/title metadata — the content of a Common-Crawl WAT
+    envelope — derived entirely Catalyst-side.
+
+    Output: (url, date, title, links array<struct<url,text>>). The two
+    regexp_extract_all passes + arrays_zip stay in whole-stage codegen
+    over the scan (same native shape as linkgraph.anchor_pairs — no
+    Python in the parse); at 100 TB this is a map-only projection that
+    scales exactly like the scan. WAT lists ALL anchors (relative links
+    included), unlike the link graph's cross-host filter.
+    """
+    from ..operators.linkgraph import _ANCHOR_RE
+
+    h = F.col(html_col).cast("string")
+    zipped = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(_ANCHOR_RE), F.lit(1)).alias("url"),
+        F.regexp_extract_all(h, F.lit(_ANCHOR_RE), F.lit(2)).alias("text"),
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        (F.col(date_col) if date_col else F.lit(None))
+        .cast("string").alias("date"),
+        F.regexp_extract(h, _WAT_TITLE_RE, 1).alias("title"),
+        zipped.alias("links"),
+    )
+
+
+def write_wat(
+    pages: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    date_col: str | None = None,
+    num_files: int | None = None,
+) -> int:
+    """Write page metadata as WAT files (`.warc.gz` of WARC/1.0
+    ``metadata`` records whose payload is a canonical-JSON envelope —
+    the third member of Common Crawl's WARC/WET/WAT triple, readable
+    back by iter_warc_members / read_warc like any other archive).
+
+    Same distributed sink shape as write_wet: the html -> (title, links)
+    parse happens Catalyst-side (wat_metadata), each task serializes its
+    own url-hash partition into ONE ``wat-<partition>.warc.gz`` sorted by
+    url, every record byte-deterministic (sorted-key compact JSON, uuid5
+    ids, MTIME=0 gzip) — identical input at the same ``num_files``
+    produces identical files. Returns the number of records written.
+    """
+    import json as _json
+
+    from ..kernels.warc import build_metadata_record, gzip_member
+
+    n = num_files or pages.rdd.getNumPartitions()
+    rows = (
+        wat_metadata(pages, url_col=url_col, html_col=html_col,
+                     date_col=date_col)
+        .repartition(n, "url")
+        .sortWithinPartitions("url")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(it):
+        import os as _os
+
+        f = None
+        pid = count = 0
+        for r in it:
+            if f is None:                           # lazy: skip empty parts
+                from pyspark import TaskContext
+                pid = TaskContext.get().partitionId()
+                f = open(_os.path.join(out_dir, f".wat-{pid:05d}.tmp"), "wb")
+            date = r["date"] or "1970-01-01T00:00:00Z"
+            env = {
+                "Envelope": {
+                    "WARC-Header-Metadata": {
+                        "WARC-Target-URI": r["url"],
+                        "WARC-Date": date,
+                    },
+                    "Payload-Metadata": {
+                        "HTTP-Response-Metadata": {
+                            "HTML-Metadata": {
+                                "Head": {"Title": r["title"] or ""},
+                                "Links": [
+                                    {"url": li["url"], "text": li["text"]}
+                                    for li in (r["links"] or [])
+                                ],
+                            }
+                        }
+                    },
+                }
+            }
+            payload = _json.dumps(
+                env, sort_keys=True, separators=(",", ":"),
+                ensure_ascii=False,
+            ).encode("utf-8")
+            f.write(gzip_member(
+                build_metadata_record(r["url"], date, payload)))
+            count += 1
+        if f is not None:
+            f.close()
+            _os.replace(                            # atomic publish
+                _os.path.join(out_dir, f".wat-{pid:05d}.tmp"),
+                _os.path.join(out_dir, f"wat-{pid:05d}.warc.gz"))
         yield count
 
     return sum(rows.rdd.mapPartitions(write_part).collect())
