@@ -174,6 +174,43 @@ def tier_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def source_tier_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source tier composition — the crawl-prioritization table:
+    which sources/hosts yield head-tier content and which produce junk,
+    read before deciding recrawl frequency or per-source budgets.
+
+    Output: (source, tier, tier_label, n_docs, total_tokens, share_ppm,
+    is_dominant) — share_ppm is the integer ppm of the source's docs
+    landing in this tier; is_dominant marks the source's largest tier
+    (ties -> lowest tier), so `WHERE is_dominant` is one row per source.
+
+    Shape: the scoring map pass feeds ONE shuffle (groupBy source+tier
+    with map-side partial agg — at most 5 rows per source cross the
+    wire); the share/dominant windows run over that already-tiny
+    aggregated frame on the same source partitioning."""
+    agg = (
+        quality_tiers(docs, text_col)
+        .groupBy("source", "tier", "tier_label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    ws = Window.partitionBy("source")
+    wd = Window.partitionBy("source").orderBy(
+        F.col("n_docs").desc(), F.col("tier").asc()
+    )
+    return (
+        agg
+        .withColumn(
+            "share_ppm",
+            _idiv(F.lit(1_000_000) * F.col("n_docs"),
+                  F.sum("n_docs").over(ws)),
+        )
+        .withColumn("is_dominant", F.row_number().over(wd) == F.lit(1))
+    )
+
+
 def source_cap(
     docs: DataFrame,
     k: int = 16,

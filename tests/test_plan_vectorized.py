@@ -500,3 +500,22 @@ def test_round5_tier_family_plans(spark):
         assert "SortMergeJoin" not in p, q.__name__
         assert p.count("BroadcastExchange") == 1, q.__name__
         assert "BatchEvalPython" not in p, q.__name__
+
+
+def test_source_tier_profile_plan_two_exchanges(spark):
+    """source_tier_profile: the corpus crosses the wire ONCE (partial-agg
+    groupBy source+tier); the share/dominant windows both run on a single
+    source repartition of the <=5-rows-per-source aggregated frame —
+    exactly two physical Exchanges, one Sort, no Python."""
+    from intelligent_document_processing_on_aws_spark.operators.tiers import (
+        source_tier_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "s"), (2, "gamma", "t")],
+        "doc_id long, text string, source string")
+    plan = _plan(source_tier_profile(df))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert plan.count("Exchange") == 2, plan[:2000]
+    assert plan.count("Window") == 2, plan[:2000]

@@ -272,3 +272,40 @@ def test_tier_job_cli(tmp_path):
     fat = max(stats["tiers"], key=lambda k: stats["tiers"][k]["tokens"])
     scarce = min(stats["tiers"], key=lambda k: stats["tiers"][k]["tokens"])
     assert rates[scarce] > rates[fat]
+
+
+def test_source_tier_profile_shares_and_dominance(spark):
+    """Integer-ppm shares sum to <= 1e6 per source (floor division) and
+    is_dominant marks exactly one row per source — the largest tier,
+    ties broken to the LOWEST tier."""
+    from intelligent_document_processing_on_aws_spark.operators.tiers import (
+        source_tier_profile,
+        with_tier,
+    )
+
+    # craft two sources; tiers come from the real scorer, so derive the
+    # expected dominant tier from with_tier itself (no magic constants)
+    rows = [(i, ("word " * (i % 7 + 1)).strip(), "s" if i % 3 else "t")
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    prof = source_tier_profile(docs).collect()
+
+    by_src = {}
+    for r in prof:
+        by_src.setdefault(r.source, []).append(r)
+    truth = with_tier(docs).groupBy("source", "tier").count().collect()
+    counts = {}
+    for t in truth:
+        counts.setdefault(t.source, {})[t.tier] = t["count"]
+
+    for src, rs in by_src.items():
+        total = sum(r.n_docs for r in rs)
+        assert total == sum(counts[src].values())
+        # floor-division shares: each exact, sum within len(rs) ppm of 1e6
+        for r in rs:
+            assert r.share_ppm == (1_000_000 * r.n_docs) // total
+        assert 1_000_000 - len(rs) < sum(r.share_ppm for r in rs) <= 1_000_000
+        doms = [r for r in rs if r.is_dominant]
+        assert len(doms) == 1
+        best = max(counts[src].items(), key=lambda kv: (kv[1], -kv[0]))
+        assert doms[0].tier == best[0] and doms[0].n_docs == best[1]
