@@ -307,3 +307,49 @@ def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("dominant_script")
     )
     return docs.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# URL structural features (DCLM/RefinedWeb-style URL-level filtering inputs)
+# ---------------------------------------------------------------------------
+
+# ASCII-only regexes shared verbatim with the DuckDB oracle (Java == RE2).
+_URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_URL_QUERY_RE = r"\?([^#]*)"
+_URL_TLD_RE = r"\.([a-zA-Z0-9-]+)$"
+
+
+def url_features(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Structural URL features — the query-independent inputs URL-level
+    quality classifiers (DCLM, RefinedWeb's URL filtering stage) consume
+    before ever reading the page body: (url, host, tld, path_depth,
+    path_len, n_params, host_has_digit, host_n_dots).
+
+    Long paths, deep hierarchies, and parameter-heavy query strings
+    correlate with templated/faceted junk; digit-bearing hosts correlate
+    with spam constellations. All-native codegen'd regexp/length columns
+    — a map-only projection with zero shuffles that scales exactly like
+    the scan, so it can gate a 100-TB corpus BEFORE the expensive text
+    stages."""
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    host = F.lower(F.regexp_extract(u, _URL_HOST_RE, 1))
+    # strip :port and user@ — features describe the registrable host
+    host = F.regexp_replace(F.regexp_replace(host, r"^[^@]*@", ""),
+                            r":[0-9]+$", "")
+    path = F.regexp_extract(u, _URL_PATH_RE, 1)
+    query = F.regexp_extract(u, _URL_QUERY_RE, 1)
+    seg = F.filter(F.split(path, "/"), lambda s: s != "")
+    return pages.select(
+        u.alias("url"),
+        host.alias("host"),
+        F.regexp_extract(host, _URL_TLD_RE, 1).alias("tld"),
+        F.size(seg).cast("long").alias("path_depth"),
+        F.length(path).cast("long").alias("path_len"),
+        F.when(query == "", F.lit(0).cast("long"))
+        .otherwise(F.size(F.split(query, "&")).cast("long"))
+        .alias("n_params"),
+        host.rlike("[0-9]").alias("host_has_digit"),
+        (F.length(host) - F.length(F.replace(host, F.lit("."), F.lit(""))))
+        .cast("long").alias("host_n_dots"),
+    )

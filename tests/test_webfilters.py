@@ -116,12 +116,20 @@ def test_url_dedup_groups_variants(spark):
 
 
 def test_webfilter_plans_native(spark):
-    """All three operators are pure Catalyst — no Python eval nodes."""
+    """All operators are pure Catalyst — no Python eval nodes; the
+    url_features projection additionally never shuffles (map-only)."""
+    from intelligent_document_processing_on_aws_spark.operators.webfilters import (
+        url_features,
+    )
+
     df = spark.createDataFrame([(1, "a.", "https://x.example/p")],
                                "doc_id long, text string, url string")
-    for op_df in (c4_clean(df), pii_stats(df), url_dedup(df)):
+    for op_df in (c4_clean(df), pii_stats(df), url_dedup(df),
+                  url_features(df)):
         plan = op_df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    feats = url_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in feats
 
 
 def test_curate_job_c4_and_pii_flags(tmp_path):
@@ -204,3 +212,38 @@ def test_canonicalization_and_redaction_idempotent(spark):
     t_twice = t_once.select(redact_pii(F.col("r1")).alias("r2"), "r1")
     for r in t_twice.collect():
         assert r.r1 == r.r2, r
+
+
+def test_url_features_edge_cases(spark):
+    """Degenerate inputs never crash the feature pass: no scheme, empty,
+    NULL, bare host, userinfo + port stripped, params counted exactly."""
+    from intelligent_document_processing_on_aws_spark.operators.webfilters import (
+        url_features,
+    )
+
+    rows = [
+        (1, "https://User:pw@A1.Shop.COM:8443/a/b/c?x=1&y=2&z=3#frag"),
+        (2, "http://plain.org"),
+        (3, "not a url at all"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.url: r for r in url_features(df.select("url")).collect()}
+
+    r1 = got["https://User:pw@A1.Shop.COM:8443/a/b/c?x=1&y=2&z=3#frag"]
+    assert r1.host == "a1.shop.com" and r1.tld == "com"
+    assert r1.path_depth == 3 and r1.n_params == 3
+    assert r1.host_has_digit and r1.host_n_dots == 2
+
+    r2 = got["http://plain.org"]
+    assert r2.host == "plain.org" and r2.path_depth == 0
+    assert r2.n_params == 0 and not r2.host_has_digit
+
+    for key in ("not a url at all", ""):
+        r = got[key]
+        assert r.host == "" and r.tld == "" and r.path_depth == 0
+        assert r.n_params == 0 and not r.host_has_digit
+
+    # NULL url -> coalesced to '' (one row per input, never dropped)
+    assert len(got) == 4 and sum(1 for r in got.values() if r.url == "") == 1
