@@ -211,6 +211,38 @@ def source_tier_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tier_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-snapshot tier transition matrix — the recrawl-stability
+    table: given the same corpus captured in two crawls, how many
+    documents moved between quality tiers (content drift, template
+    injection, truncated captures all show up as off-diagonal mass).
+
+    Output: (tier_a, label_a, tier_b, label_b, n_docs) — at most 25
+    rows. Shape: two map-only scoring passes feed one doc_id equi-join
+    (both sides project to (id, tier) first, so the join moves two
+    integer columns, never text) and a 25-group partial agg."""
+    a = quality_tiers(docs_a, text_col).select(
+        F.col(id_col).alias("__id"),
+        F.col("tier").alias("tier_a"),
+        F.col("tier_label").alias("label_a"),
+    )
+    b = quality_tiers(docs_b, text_col).select(
+        F.col(id_col).alias("__id"),
+        F.col("tier").alias("tier_b"),
+        F.col("tier_label").alias("label_b"),
+    )
+    return (
+        a.join(b, "__id")
+        .groupBy("tier_a", "label_a", "tier_b", "label_b")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def source_cap(
     docs: DataFrame,
     k: int = 16,

@@ -309,3 +309,29 @@ def test_source_tier_profile_shares_and_dominance(spark):
         assert len(doms) == 1
         best = max(counts[src].items(), key=lambda kv: (kv[1], -kv[0]))
         assert doms[0].tier == best[0] and doms[0].n_docs == best[1]
+
+
+def test_tier_drift_diagonal_and_truncation(spark):
+    """Identical snapshots put ALL mass on the diagonal; a truncating
+    perturbation moves affected docs strictly down-or-equal in tier and
+    the matrix row counts reconcile with the corpus size."""
+    from intelligent_document_processing_on_aws_spark.operators.tiers import (
+        tier_drift,
+    )
+
+    rows = [(i, ("informative words about the topic " * (i % 5 + 1)).strip(),
+             "s") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    same = tier_drift(docs, docs).collect()
+    assert all(r.tier_a == r.tier_b for r in same)
+    assert sum(r.n_docs for r in same) == 40
+
+    from pyspark.sql import functions as F
+    trunc = docs.select(
+        "doc_id", "source", F.substring("text", 1, 3).alias("text"))
+    moved = tier_drift(docs, trunc).collect()
+    assert sum(r.n_docs for r in moved) == 40
+    # 3-char captures can never outrank the full text's tier
+    assert all(r.tier_b <= r.tier_a for r in moved)
+    assert any(r.tier_b < r.tier_a for r in moved)
