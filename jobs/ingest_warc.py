@@ -53,6 +53,10 @@ def main() -> int:
                     help="also write the extracted text as WET files "
                          "(WARC conversion records, per-record gzip "
                          "members, byte-deterministic)")
+    ap.add_argument("--wat-out", default=None, metavar="DIR",
+                    help="also write link/title metadata as WAT files "
+                         "(WARC metadata records with canonical-JSON "
+                         "envelopes, byte-deterministic)")
     ap.add_argument("--from-cdx", default=None, metavar="INDEX_PARQUET",
                     help="skip the archive scan: select status-200 "
                          "captures from this CDX index and ranged-fetch "
@@ -124,6 +128,11 @@ def main() -> int:
             out.select("url", F.col("extracted_text").alias("text")),
             args.wet_out,
         )
+    wat_records = None
+    if args.wat_out:
+        from intelligent_document_processing_on_aws_spark.sources.warc import write_wat
+
+        wat_records = write_wat(pages, args.wat_out, date_col="warc_ts")
     sec = round(time.time() - t0, 2)
     summary = {
         "rows": rows, "sec": sec,
@@ -131,6 +140,8 @@ def main() -> int:
     }
     if wet_records is not None:
         summary["wet_records"] = wet_records
+    if wat_records is not None:
+        summary["wat_records"] = wat_records
     print(json.dumps(summary))
     return 0
 
