@@ -117,3 +117,117 @@ def domain_filter(
         )
         out = out.join(F.broadcast(heavy), on="__domain", how="left_anti")
     return out.drop("__domain")
+
+
+# ---------------------------------------------------------------------------
+# Host-scoped template lines (RefinedWeb-style per-host boilerplate)
+# ---------------------------------------------------------------------------
+
+def _doc_lines(docs: DataFrame, text_col: str) -> Column:
+    """'\\n'-split, trimmed of ' \\t\\r', blanks dropped — the shared
+    line convention (webfilters._lines / dedup.line_dedup)."""
+    return F.filter(
+        F.transform(F.split(F.col(text_col), "\n"),
+                    lambda x: F.trim(x, F.lit(" \t\r"))),
+        lambda x: x != "",
+    )
+
+
+def host_template_lines(
+    docs: DataFrame,
+    min_docs: int = 3,
+    min_share_ppm: int = 500_000,
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host template (boilerplate) lines: a line is a template of
+    host H iff it appears in >= min_docs DISTINCT documents of H and in
+    >= min_share_ppm (integer ppm) of H's documents. Nav bars, cookie
+    banners and footers repeat across one site's pages but not across
+    the web — host scoping catches them at far lower df than a global
+    passage threshold would need (RefinedWeb §3.2 line-wise filtering
+    scoped per source; public paper, no reference-repo analog).
+
+    Output: (host, line, df, host_docs, share_ppm).
+
+    100-TB shape: distinct-within-doc explode is map-side; the df count
+    is ONE hash aggregate on (host, line) with partial combine; host
+    sizes are a second tiny aggregate broadcast back (hosts number in
+    the millions, lines in the trillions — the join side that moves is
+    the already-thresholded template candidates, never the corpus)."""
+    lines = docs.select(
+        F.col("doc_id"),
+        F.col(host_col).alias("host"),
+        F.explode(F.array_distinct(_doc_lines(docs, text_col)))
+        .alias("line"),
+    )
+    df = lines.groupBy("host", "line").agg(
+        F.count("*").cast("long").alias("df"))
+    sizes = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct("doc_id").cast("long").alias("host_docs"))
+    return (
+        df.where(F.col("df") >= min_docs)
+        .join(F.broadcast(sizes), "host")
+        .withColumn(
+            # exact integer floor-div (Spark SQL `div`) — no float in the
+            # threshold compare; mirrors `//` in the DuckDB oracle
+            "share_ppm",
+            F.expr("(1000000 * df) div host_docs").cast("bigint"),
+        )
+        .where(F.col("share_ppm") >= min_share_ppm)
+        .select("host", "line", "df", "host_docs", "share_ppm")
+    )
+
+
+def strip_host_templates(
+    docs: DataFrame,
+    templates: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite every document with its host's template lines removed
+    (order preserved; within-doc repeats of a template line all go).
+    Output: (doc_id, host, text_stripped, n_lines, n_removed).
+
+    Shape: posexplode -> one left-anti-style join against the (host,
+    line) template table -> rebuild on doc_id. The template table is
+    the small side by construction (already df/share-thresholded)."""
+    base = docs.select(
+        "doc_id", F.col(host_col).alias("host"),
+        _doc_lines(docs, text_col).alias("__lines"),
+    )
+    lines = base.select(
+        "doc_id", "host",
+        F.posexplode("__lines").alias("pos", "line"),
+    )
+    kept = (
+        lines.join(
+            F.broadcast(templates.select("host", "line")
+                        .withColumn("__tpl", F.lit(True))),
+            ["host", "line"], "left",
+        )
+        .where(F.col("__tpl").isNull())
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("text_stripped"),
+            F.count("*").cast("long").alias("n_kept"),
+        )
+    )
+    return (
+        base.select("doc_id", "host",
+                    F.size("__lines").cast("long").alias("n_lines"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id", "host",
+            F.coalesce("text_stripped", F.lit("")).alias("text_stripped"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
+    )

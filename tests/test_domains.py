@@ -267,3 +267,38 @@ def test_badword_filter_keeps_null_text_docs(spark):
     )
     kept = sorted(r.doc_id for r in badword_filter(df).collect())
     assert kept == [1, 2]  # NULL text has no badwords — never dropped
+
+
+def test_host_template_detection_and_strip(spark):
+    """Host-scoped boilerplate: the per-host nav/footer lines clear the
+    df+share gates, cross-host unique lines never do; stripping removes
+    EVERY occurrence (within-doc repeats included), preserves order of
+    survivors, and empties all-boilerplate docs without dropping them."""
+    from intelligent_document_processing_on_aws_spark.operators.domains import (
+        host_template_lines,
+        strip_host_templates,
+    )
+
+    nav, foot = "Home | About | Contact", "(c) example"
+    rows = []
+    for i in range(6):
+        rows.append((i, "a.com", f"{nav}\nunique body {i}\n{foot}"))
+    rows.append((6, "a.com", f"{nav}\n{foot}"))          # all boilerplate
+    rows.append((7, "b.org", f"{nav}\nother site body"))  # nav df=1 on b.org
+    rows.append((8, "b.org", "just text"))
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+
+    tpl = host_template_lines(docs, min_docs=3, min_share_ppm=500_000)
+    got = {(r.host, r.line): r for r in tpl.collect()}
+    assert ("a.com", nav) in got and ("a.com", foot) in got
+    assert got[("a.com", nav)].df == 7 and got[("a.com", nav)].host_docs == 7
+    assert got[("a.com", nav)].share_ppm == 1_000_000
+    assert not any(h == "b.org" for h, _ in got)      # never crosses hosts
+    assert not any(l.startswith("unique body") for _, l in got)
+
+    out = {r.doc_id: r for r in strip_host_templates(docs, tpl).collect()}
+    assert len(out) == 9
+    assert out[0].text_stripped == "unique body 0" and out[0].n_removed == 2
+    assert out[6].text_stripped == "" and out[6].n_removed == 2
+    assert out[7].text_stripped == f"{nav}\nother site body"  # b.org keeps nav
+    assert out[8].n_removed == 0
