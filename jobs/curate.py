@@ -22,6 +22,8 @@ candidate set):
 
 Optional r5 stages (flags, default off; applied in published order):
 --fix-mojibake repairs CP1252 double-encoding BEFORE any signal;
+--strip-templates removes per-source boilerplate lines (RefinedWeb
+host-scoped nav/footer detection) before any signal is computed;
 --word-gates applies the Gopher word-count/length/stopword rows;
 --badwords drops blocklist-word documents (C4 page rule);
 --span-dedup K removes duplicated >=K-token spans AFTER near-dup
@@ -141,6 +143,11 @@ def main() -> int:
                          "Xie et al. 2023); runs right before the "
                          "temperature sample")
     ap.add_argument("--dsir-target-langs", default="en")
+    ap.add_argument("--strip-templates", action="store_true",
+                    help="RefinedWeb host-scoped boilerplate strip: "
+                         "detect per-source template lines (df >= 3, "
+                         "host share >= 50%%) and remove every "
+                         "occurrence BEFORE any signal is computed")
     ap.add_argument("--span-dedup", type=int, default=0, metavar="K",
                     help="remove duplicated >=K-token spans from the "
                          "curated corpus (0 = off)")
@@ -166,6 +173,28 @@ def main() -> int:
         )
 
         docs = docs.withColumn("text", fix_mojibake(F.col("text")))
+    n_template_lines = None
+    if args.strip_templates:
+        # boilerplate strip precedes every signal (RefinedWeb ordering):
+        # a nav bar must not inflate repetition/quality/token gates.
+        # Hosts come from the corpus `source` column when present.
+        from intelligent_document_processing_on_aws_spark.operators.domains import (
+            host_template_lines,
+            strip_host_templates,
+        )
+
+        host = (F.col("source") if "source" in raw.columns
+                else F.lit("__all__"))
+        hosted = raw.select("doc_id", host.alias("host")).join(
+            docs, "doc_id").select("doc_id", "host", "text")
+        tpl = host_template_lines(hosted)
+        tpl.write.mode("overwrite").parquet(
+            os.path.join(args.output, "template_lines"))
+        tpl = spark.read.parquet(
+            os.path.join(args.output, "template_lines"))
+        n_template_lines = tpl.count()
+        docs = strip_host_templates(hosted, tpl).select(
+            "doc_id", F.col("text_stripped").alias("text"))
     n_docs = docs.count()
 
     # stats computed once, written, and RE-READ as the gate's input — the
@@ -431,6 +460,7 @@ def main() -> int:
 
     print(json.dumps({
         "docs": n_docs,
+        "template_lines_stripped": n_template_lines,
         "after_quality": n_quality,
         "after_repetition": n_repetition,
         "after_compression": n_compression,
