@@ -31,7 +31,7 @@ parses the fetched records).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # the JSON member set served by the cc-index CDXJ lines (all values are
@@ -129,3 +129,52 @@ def fetch_plan(
         else selected.repartition("filename")
     )
     return parts.sortWithinPartitions("filename", "offset")
+
+
+def latest_captures(
+    parsed: DataFrame,
+    url_col: str = "urlkey",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Freshness policy: ONE capture per url — the newest (max ts; exact
+    ties break to the lexicographically-largest digest then filename so
+    the winner is deterministic at any parallelism). The standard corpus-
+    build selection when a crawl index spans multiple monthly crawls of
+    the same page.
+
+    Shape: one Window over the url key (rank-limit spelling, so Spark
+    plans WindowGroupLimit — each partition prunes to its local newest
+    BEFORE the exchange; a url appearing in 100 crawls moves 100 tiny
+    index rows, never payloads)."""
+    w = Window.partitionBy(url_col).orderBy(
+        F.col(ts_col).desc(), F.col("digest").desc(),
+        F.col("filename").desc(),
+    )
+    return (
+        parsed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def canonical_captures(
+    parsed: DataFrame,
+    digest_col: str = "digest",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Storage policy: ONE capture per payload digest — the EARLIEST
+    (min ts; ties to min urlkey then filename). This is Common Crawl's
+    cross-crawl dedup rule: the first capture of a payload is the stored
+    full record, every later identical capture is written as a revisit
+    pointer (WARC 1.0 §6.7), so the earliest-per-digest set is exactly
+    the fetchable full-record set resolve_revisits targets.
+
+    Same WindowGroupLimit shape as latest_captures, keyed by digest."""
+    w = Window.partitionBy(digest_col).orderBy(
+        F.col(ts_col).asc(), F.col("urlkey").asc(), F.col("filename").asc(),
+    )
+    return (
+        parsed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -94,3 +94,41 @@ def test_fetch_plan_groups_by_file_and_sorts_offsets(spark):
     for r in per_part:
         file_pids.setdefault(r["filename"], set()).add(r["pid"])
     assert all(len(p) == 1 for p in file_pids.values())
+
+
+def test_capture_policies_latest_and_canonical(spark):
+    """latest_captures keeps exactly the newest row per url (deterministic
+    ties); canonical_captures keeps the EARLIEST per digest — the stored
+    full record under Common Crawl's revisit rule — and both plan as
+    WindowGroupLimit (partition-local prune before the exchange)."""
+    from intelligent_document_processing_on_aws_spark.operators.cdx import (
+        canonical_captures,
+        latest_captures,
+    )
+
+    rows = [
+        # url A: 3 crawls, payload changes at the last one
+        ("com,a)/", "20230101000000", "d1", "f1"),
+        ("com,a)/", "20240101000000", "d1", "f2"),   # identical re-fetch
+        ("com,a)/", "20250101000000", "d2", "f3"),
+        # url B: one capture whose payload equals A's first (cross-url dup)
+        ("com,b)/", "20240601000000", "d1", "f4"),
+    ]
+    caps = spark.createDataFrame(
+        rows, "urlkey string, ts string, digest string, filename string")
+
+    latest = {r.urlkey: r for r in latest_captures(caps).collect()}
+    assert len(latest) == 2
+    assert latest["com,a)/"].ts == "20250101000000"
+    assert latest["com,b)/"].ts == "20240601000000"
+
+    canon = {r.digest: r for r in canonical_captures(caps).collect()}
+    assert len(canon) == 2
+    assert (canon["d1"].urlkey, canon["d1"].ts) == ("com,a)/",
+                                                    "20230101000000")
+    assert canon["d2"].ts == "20250101000000"
+
+    for op in (latest_captures, canonical_captures):
+        plan = op(caps)._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, op.__name__
+        assert "BatchEvalPython" not in plan
