@@ -123,6 +123,37 @@ def build_xls_fixtures(out_dir: str = FIXTURES_DIR, n: int = N_XLS) -> None:
     print(f"wrote xls_docs/xls_golden: {n} rows")
 
 
+N_RTF = 110
+
+
+def build_rtf_fixtures(out_dir: str = FIXTURES_DIR, n: int = N_RTF) -> None:
+    from .rtf_gen import gen_rtf_docs
+
+    docs = gen_rtf_docs(n)
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "url": [d["url"] for d in docs],
+            "payload": [d["payload"] for d in docs],
+        },
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("url", pa.string()), ("payload", pa.binary())]
+        ),
+    )
+    pq.write_table(table, os.path.join(out_dir, "rtf_docs.parquet"),
+                   compression="zstd")
+    golden = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "kind": [d["kind"] for d in docs],
+            "extracted_text": [d["extracted_text"] for d in docs],
+        }
+    )
+    pq.write_table(golden, os.path.join(out_dir, "rtf_golden.parquet"),
+                   compression="zstd")
+    print(f"wrote rtf_docs/rtf_golden: {n} rows")
+
+
 N_DOC = 100
 
 
@@ -312,6 +343,7 @@ def build(out_dir: str = FIXTURES_DIR) -> None:
     build_realpdf(out_dir)
     build_xls_fixtures(out_dir)
     build_doc_fixtures(out_dir)
+    build_rtf_fixtures(out_dir)
     build_csv(out_dir)
     build_summaries(out_dir)
     build_ocrblocks(out_dir)

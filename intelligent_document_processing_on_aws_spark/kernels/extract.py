@@ -94,6 +94,13 @@ def extract_page(
         from .office import extract_xlsx
 
         return ctype, extract_xlsx(content)
+    if ctype == filetype.RTF:
+        # beyond reference: GenAIIDP's converter matrix has no RTF branch
+        from .rtf import rtf_to_text
+
+        md = rtf_to_text(content)
+        spans = [Span(0, len(md), 0)] if md else []
+        return ctype, ExtractionResult(md, spans, 1.0 if md else 0.0, 1 if md else 0)
     if ctype == filetype.TEXT:
         # plain text: everything is main content, paginated per the
         # reference's text converter math then re-joined page-wise.

@@ -30,6 +30,7 @@ OCR_JSON = "ocr_json"
 XLSX = "xlsx"
 XLS = "xls"
 DOCX = "docx"
+RTF = "rtf"
 IMAGE = "image"
 AUDIO = "audio"
 VIDEO = "video"
@@ -176,6 +177,8 @@ def detect_content_type_and_text(
         if b"word/" in head:
             return DOCX, None
         return UNKNOWN, None
+    if content.startswith(b"{\\rtf"):
+        return RTF, None
     if content.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
         # OLE2/CFB container: legacy Office. Routed to the BIFF8 .xls
         # decoder (kernels/xls_biff); non-workbook CFB files (.doc/.ppt)
