@@ -31,6 +31,7 @@ from intelligent_document_processing_on_aws_spark.entry_queries import (  # noqa
     q_doc_quality,
     q_doc_stats,
     q_eval_metrics,
+    q_extract_rtf,
     q_extract_xls,
     q_host_spamrank,
     q_image_resize,
@@ -140,6 +141,7 @@ def main() -> int:
     timed("tier_mix", lambda: q_tier_mix(spark, sf_dir).collect())
     timed("source_cap", lambda: q_source_cap(spark, sf_dir).count())
     timed("extract_xls", lambda: q_extract_xls(spark, sf_dir).count())
+    timed("extract_rtf", lambda: q_extract_rtf(spark, sf_dir).count())
     timed("image_resize", lambda: q_image_resize(spark, sf_dir).count())
     timed("audio_features", lambda: q_audio_features(spark, sf_dir).count())
     timed("lang_classifier", lambda: q_lang_classifier(spark, sf_dir)

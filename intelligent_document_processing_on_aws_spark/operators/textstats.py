@@ -132,3 +132,46 @@ def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_expr.alias("lang_guess"),
         "fingerprint",
     )
+
+
+def paragraph_lang_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-paragraph language mix — CCNet segments language-ID at the
+    paragraph level, not the page level (Wenzek et al. 2020 §3.2), so a
+    bilingual page routes each half to the right-language pipeline.
+
+    Output: (doc_id, n_paras, majority_lang, majority_ppm, n_langs) —
+    majority decided by (count desc, lang asc) so ties are deterministic;
+    majority_ppm is the exact-integer share of paragraphs in the majority
+    language. Docs with no non-blank line produce no row (the caller's
+    blank-page policy, not this operator's).
+
+    Shape: the line explode and per-line lang CASE are map-side; one
+    partial-agg groupBy (doc_id, lang) — at most n_langs rows per doc
+    cross the wire — then a second tiny groupBy doc_id. No windows, no
+    joins."""
+    lines_arr = F.filter(
+        F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+                    lambda x: F.trim(x, F.lit(" \t\r"))),
+        lambda x: x != "",
+    )
+    per = docs.select(
+        "doc_id", F.explode(lines_arr).alias("para")
+    ).select("doc_id", detect_lang(F.col("para")).alias("lang"))
+    counts = per.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("long").alias("n"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_paras"),
+            F.min(F.struct((-F.col("n")).alias("neg"),
+                           F.col("lang").alias("lang"))).alias("__best"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .select(
+            "doc_id", "n_paras",
+            F.col("__best.lang").alias("majority_lang"),
+            F.expr("CAST((1000000 * -__best.neg) div n_paras AS BIGINT)")
+            .alias("majority_ppm"),
+            "n_langs",
+        )
+    )

@@ -44,3 +44,31 @@ def test_spark_matches_kernel(spark):
         assert r.punct_ratio == pytest.approx(K.punct_ratio(text), abs=1e-9)
         assert r.quality == pytest.approx(K.quality_score(text), abs=1e-6)
         assert r.lang_guess == K.detect_lang(text), (doc_id, "lang")
+
+
+def test_paragraph_lang_mix_majority_and_ties(spark):
+    """Per-paragraph langid: majority by count with (count desc, lang asc)
+    tie-break; exact-integer majority share; unmarked lines count as
+    'und'; blank-only docs emit no row."""
+    from intelligent_document_processing_on_aws_spark.operators.textstats import (
+        paragraph_lang_mix,
+    )
+
+    rows = [
+        # 2 en + 1 fr -> majority en, 666666 ppm, 2 langs
+        (1, "the cat and the dog\nthis is the end of it\nle chat et la vie"),
+        # 1 en + 1 fr (tie) -> lang asc picks 'en'
+        (2, "the cat and the dog\nle chat et la vie est une"),
+        # no markers anywhere -> und majority
+        (3, "zzz qqq\nxxx yyy"),
+        # blank-only doc -> no output row
+        (4, "   \n\t\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in paragraph_lang_mix(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].majority_lang == "en" and got[1].n_paras == 3
+    assert got[1].majority_ppm == 666666 and got[1].n_langs == 2
+    assert got[2].majority_lang == "en" and got[2].majority_ppm == 500000
+    assert got[3].majority_lang == "und" and got[3].n_langs == 1
+    assert got[3].majority_ppm == 1000000
