@@ -302,3 +302,29 @@ def test_host_template_detection_and_strip(spark):
     assert out[6].text_stripped == "" and out[6].n_removed == 2
     assert out[7].text_stripped == f"{nav}\nother site body"  # b.org keeps nav
     assert out[8].n_removed == 0
+
+
+def test_host_template_plans(spark):
+    """Detection: corpus crosses the wire once (no window, no join for
+    the gate until the tiny broadcast of host sizes); strip: template
+    table broadcast — the corpus side never SortMergeJoins."""
+    from intelligent_document_processing_on_aws_spark.operators.domains import (
+        host_template_lines,
+        strip_host_templates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "h", "x\ny"), (2, "h", "x\nz")],
+        "doc_id long, host string, text string")
+    tpl = host_template_lines(docs, min_docs=2)
+    p1 = tpl._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p1
+    assert "BroadcastHashJoin" in p1 and "SortMergeJoin" not in p1
+
+    # strip: the (host, line) template join must be broadcast — the
+    # corpus never shuffles for the GATE; the final doc_id rebuild join
+    # is corpus-to-corpus and legitimately shuffles.
+    p2 = strip_host_templates(docs, tpl) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p2
+    assert "BroadcastHashJoin" in p2
