@@ -254,8 +254,18 @@ def test_streaming_mixed_formats_matches_batch(spark, tmp_path, fixtures_dir):
             F.lit("").alias("text"), F.lit("en").alias("lang"),
         )
     )
+    rtf = (
+        spark.read.parquet(os.path.join(fixtures_dir, "rtf_docs.parquet"))
+        .limit(20)
+        .select(
+            F.col("url"),
+            F.lit("2025-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.col("payload").alias("html"),
+            F.lit("").alias("text"), F.lit("en").alias("lang"),
+        )
+    )
     mixed = (html.unionByName(pdfs).unionByName(csvs).unionByName(ocr)
-             .unionByName(xls).unionByName(docb))
+             .unionByName(xls).unionByName(docb).unionByName(rtf))
     in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
     mixed.write.parquet(in_dir)
 
@@ -268,7 +278,7 @@ def test_streaming_mixed_formats_matches_batch(spark, tmp_path, fixtures_dir):
     b_rows = {(r.url, r.content_type, r.extracted_text) for r in batch.collect()}
     assert s_rows == b_rows
     types = {r.content_type for r in streamed.collect()}
-    assert {"html", "pdf", "csv", "ocr_json", "xls", "doc"} <= types
+    assert {"html", "pdf", "csv", "ocr_json", "xls", "doc", "rtf"} <= types
 
 
 def test_document_status_lifecycle(spark, tmp_path):
