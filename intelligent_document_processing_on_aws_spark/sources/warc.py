@@ -572,3 +572,47 @@ def write_wat(
         yield count
 
     return sum(rows.rdd.mapPartitions(write_part).collect())
+
+
+_WAT_ENV_SCHEMA = T.StructType([T.StructField("Envelope", T.StructType([
+    T.StructField("WARC-Header-Metadata", T.StructType([
+        T.StructField("WARC-Target-URI", T.StringType()),
+        T.StructField("WARC-Date", T.StringType()),
+    ])),
+    T.StructField("Payload-Metadata", T.StructType([
+        T.StructField("HTTP-Response-Metadata", T.StructType([
+            T.StructField("HTML-Metadata", T.StructType([
+                T.StructField("Head", T.StructType([
+                    T.StructField("Title", T.StringType()),
+                ])),
+                T.StructField("Links", T.ArrayType(T.StructType([
+                    T.StructField("url", T.StringType()),
+                    T.StructField("text", T.StringType()),
+                ]))),
+            ])),
+        ])),
+    ])),
+]))])
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """Read WAT archives back into (url, date, title, links) — the
+    inverse of write_wat, so link-graph work can start from a published
+    WAT instead of rescanning the WARC bytes (exactly how Common Crawl
+    consumers avoid the full-archive scan).
+
+    Shape: the record walk is the same map-only Arrow pass as read_warc;
+    the JSON envelope parses with from_json (Jackson, JVM-side) — a
+    malformed envelope degrades to a NULL-fields row (from_json returns
+    null), never a crash."""
+    recs = read_warc(spark, path, record_types=("metadata",))
+    env = F.from_json(F.col("text"), _WAT_ENV_SCHEMA)["Envelope"]
+    html_meta = env["Payload-Metadata"]["HTTP-Response-Metadata"][
+        "HTML-Metadata"]
+    return recs.where(F.col("error").isNull()).select(
+        F.coalesce(env["WARC-Header-Metadata"]["WARC-Target-URI"],
+                   F.col("url")).alias("url"),
+        env["WARC-Header-Metadata"]["WARC-Date"].alias("date"),
+        html_meta["Head"]["Title"].alias("title"),
+        html_meta["Links"].alias("links"),
+    )

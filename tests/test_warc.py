@@ -478,3 +478,34 @@ def test_wat_metadata_plan_is_map_only(spark):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
     assert "Exchange" not in plan
+
+
+def test_read_wat_roundtrips_wat_metadata(spark, tmp_path):
+    """read_wat is the exact inverse of write_wat: url/date/title/links
+    survive the archive round trip; a damaged member degrades to an
+    error row that read_wat filters (never a crash)."""
+    from intelligent_document_processing_on_aws_spark.sources.warc import (
+        read_wat,
+        wat_metadata,
+        write_wat,
+    )
+
+    rows = [(
+        f"https://s{i % 3}.com/{i}",
+        f'<html><head><title>T {i}</title></head><body>'
+        f'<a href="https://t.com/{i}">go {i}</a></body></html>',
+        "2024-05-01T00:00:00Z",
+    ) for i in range(9)]
+    df = spark.createDataFrame(rows, "url string, html string, warc_date string")
+    out = tmp_path / "wat"
+    write_wat(df, str(out), date_col="warc_date", num_files=1)
+
+    back = {r.url: r for r in read_wat(spark, str(out)).collect()}
+    orig = {r.url: r for r in
+            wat_metadata(df, date_col="warc_date").collect()}
+    assert set(back) == set(orig)
+    for u, o in orig.items():
+        b = back[u]
+        assert b.title == o.title and b.date == o.date
+        assert [(l["url"], l["text"]) for l in b.links] == \
+               [(l["url"], l["text"]) for l in o.links]
