@@ -716,3 +716,70 @@ def substring_span_dedup(
         F.coalesce(F.size("__rm"), F.lit(0)).cast("long")
         .alias("n_removed"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS sketch): hash every k-token gram, slide a
+    window of w consecutive hashes, and in each window select the
+    minimum (rightmost occurrence on ties). The guarantee: any shared
+    run of >= w+k-1 tokens between two documents shares at least one
+    selected fingerprint, while only ~2/(w+1) of grams are kept — the
+    local-sampling property MinHash does not give.
+
+    Hash = md5 hex of the gram; lexicographic min over hex strings is a
+    total order identical in Spark and the DuckDB oracle (no
+    cross-engine integer-hash dependency). Documents with fewer than k
+    tokens emit nothing; with fewer than w grams, the single truncated
+    window still selects one fingerprint (the standard guarantee floor).
+
+    Output: (doc_id, fp_hash, fp_pos) distinct — join fp_hash to
+    candidate near-dup/overlap pairs exactly like a shingle key, at
+    ~2/(w+1) of the volume.
+
+    Shape: gram explode is map-side; ONE Exchange on doc_id feeds both
+    the ordered collect_list frame and the per-doc gram count; the
+    argmin-with-rightmost-tie is a JVM-side array aggregate over the
+    <= w-element frame; the final distinct is a hash agg on the already
+    doc-partitioned stream."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    with_toks = docs.select(
+        "doc_id", toks.alias("toks")).where(F.size("toks") >= k)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("toks", i + off) for off in range(k)]
+        ),
+    )
+    pos_grams = with_toks.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    ).select("doc_id", "pos", F.md5("gram").alias("h"))
+
+    frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    part = Window.partitionBy("doc_id")
+    staged = (
+        pos_grams
+        .withColumn("__arr", F.collect_list(F.struct("h", "pos")).over(frame))
+        .withColumn("__n", F.count("*").over(part))
+        # full windows only, except the single truncated window of a
+        # short doc (n < w) — frame truncation handles the rest
+        .where(F.col("pos") <= F.greatest(F.col("__n") - w, F.lit(0)))
+    )
+    init = F.struct(F.lit("g").alias("h"), F.lit(-1).alias("pos"))
+    sel = F.aggregate(
+        F.col("__arr"), init,
+        lambda acc, x: F.when(x["h"] <= acc["h"], x).otherwise(acc),
+    )
+    return (
+        staged.select(
+            "doc_id",
+            sel["h"].alias("fp_hash"),
+            sel["pos"].cast("long").alias("fp_pos"),
+        )
+        .distinct()
+    )

@@ -591,3 +591,44 @@ def test_line_dedup_deterministic_across_partitioning(spark):
     # exactly one doc (doc 0) keeps each shared line
     keep_header = [r for r in a if "common header" in r["text_deduped"]]
     assert [r["doc_id"] for r in keep_header] == [0]
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """The winnowing guarantee: documents sharing a token run of
+    >= w+k-1 tokens share at least one selected fingerprint; selection
+    keeps far fewer than all grams; short docs (< w grams) still emit
+    at least one; sub-k docs emit none; repeated-token docs are
+    deterministic (rightmost tie-break)."""
+    from intelligent_document_processing_on_aws_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"      # 6 tokens = w+k-1
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"nine eight {shared} seven ten eleven twelve"),
+        (3, "totally different words in this document entirely"),
+        (4, "tiny doc"),                                 # < k tokens
+        (5, "just four little tokens"),                  # 2 grams < w
+        (6, "spam spam spam spam spam spam spam spam"),  # all grams equal
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=k, w=w).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+
+    assert by_doc[1] & by_doc[2], "shared >= w+k-1 run must share a fp"
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+    assert len(by_doc[5]) == 1                 # truncated single window
+    assert len(by_doc[6]) >= 1                 # ties resolve, no blowup
+    # density: far fewer fingerprints than grams (12 grams in doc 1)
+    assert len(by_doc[1]) < 12 / 2
+
+    # determinism at any parallelism
+    again = {(r.doc_id, r.fp_hash, r.fp_pos)
+             for r in winnow_fingerprints(docs.repartition(7), k=k, w=w)
+             .collect()}
+    assert again == {(r.doc_id, r.fp_hash, r.fp_pos) for r in fps}
