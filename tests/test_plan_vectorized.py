@@ -519,3 +519,22 @@ def test_source_tier_profile_plan_two_exchanges(spark):
     assert "MapInPandas" not in plan
     assert plan.count("Exchange") == 2, plan[:2000]
     assert plan.count("Window") == 2, plan[:2000]
+
+
+def test_winnow_fingerprints_plan_single_doc_exchange(spark):
+    """winnow_fingerprints: gram explode is map-side and the ordered
+    frame + per-doc count + final distinct all run off ONE doc_id
+    Exchange; the argmin is a JVM array aggregate — no Python, no
+    second shuffle before the distinct's partial agg."""
+    from intelligent_document_processing_on_aws_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z w v u t")],
+        "doc_id long, text string")
+    plan = _plan(winnow_fingerprints(docs))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert plan.count("hashpartitioning(doc_id") <= 2, plan[:2000]
+    assert "Window" in plan
