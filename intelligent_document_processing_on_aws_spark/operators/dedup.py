@@ -783,3 +783,46 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """Near-dup candidate pairs from winnowing fingerprints: documents
+    sharing >= min_shared selected fingerprints. The sketch-backed
+    sibling of ngram_jaccard_pairs — identical join shape but the
+    posting table holds only ~2/(w+1) of the grams, so the self-join
+    fan-in shrinks by the same factor while the winnowing guarantee
+    still catches every >= w+k-1-token overlap.
+
+    max_df (on by default) drops fingerprints present in more than
+    max_df documents before the self-join — the same broadcast
+    anti-join skew guard as the shingle path: one boilerplate
+    fingerprint in 10^6 docs must never go quadratic.
+
+    Output: (doc_id_a, doc_id_b, shared_fps) with doc_id_a < doc_id_b.
+    """
+    fp = winnow_fingerprints(docs, k=k, w=w, text_col=text_col).select(
+        "doc_id", "fp_hash").distinct()
+    if max_df is not None:
+        violators = (
+            fp.groupBy("fp_hash").agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("fp_hash")
+        )
+        fp = fp.join(F.broadcast(violators), "fp_hash", "left_anti")
+    fp = _truncate_lineage(fp, None, eager=False)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp_hash") == F.col("b.fp_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"),
+                 F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

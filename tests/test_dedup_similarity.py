@@ -632,3 +632,41 @@ def test_winnow_fingerprints_guarantee_and_density(spark):
              for r in winnow_fingerprints(docs.repartition(7), k=k, w=w)
              .collect()}
     assert again == {(r.doc_id, r.fp_hash, r.fp_pos) for r in fps}
+
+
+def test_winnow_pairs_finds_planted_neardups(spark):
+    """winnow_pairs surfaces planted near-dup twins at min_shared=2 and
+    never pairs unrelated docs; the df-cap drops a planted boilerplate
+    fingerprint's quadratic bucket while distinct pairs survive."""
+    from intelligent_document_processing_on_aws_spark.operators.dedup import (
+        winnow_pairs,
+    )
+
+    base = ("the committee approved the quarterly budget and revenue "
+            "report for this fiscal year without any amendment")
+    rows = [
+        (1, base),
+        (2, base + " extra tail words here"),          # near-dup of 1
+        (3, "totally different content about mountain weather patterns "
+            "and snowfall accumulation in winter"),
+    ]
+    # boilerplate cluster: 30 identical docs that must be df-capped away
+    # (non-periodic text, so several distinct fingerprints are selected)
+    tpl = ("site navigation home products pricing support contact about "
+           "careers blog press legal privacy terms copyright footer "
+           "newsletter subscribe social links sitemap")
+    rows += [(100 + i, tpl) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r.doc_id_a, r.doc_id_b): r.shared_fps
+           for r in winnow_pairs(docs, k=3, w=4, min_shared=2,
+                                 max_df=10).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert not any(3 in p for p in got)
+    assert not any(a >= 100 and b >= 100 for a, b in got), \
+        "df-capped boilerplate bucket must not go quadratic"
+
+    # uncapped returns the quadratic truth for the template cluster
+    uncapped = winnow_pairs(docs, k=3, w=4, min_shared=2,
+                            max_df=None).count()
+    assert uncapped >= 30 * 29 // 2
