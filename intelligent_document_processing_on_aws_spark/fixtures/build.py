@@ -331,6 +331,44 @@ def build_langid(out_dir: str = FIXTURES_DIR, n: int = N_LANGID) -> None:
     print(f"wrote langid_pages: {n} rows")
 
 
+N_CHARSET = 280
+
+
+def build_charset_fixtures(out_dir: str = FIXTURES_DIR, n: int = N_CHARSET) -> None:
+    from .charset_gen import gen_charset_docs
+
+    docs = gen_charset_docs(n)
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "family": [d["family"] for d in docs],
+            "raw": [d["raw"] for d in docs],
+        },
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("family", pa.string()), ("raw", pa.binary())]
+        ),
+    )
+    pq.write_table(table, os.path.join(out_dir, "charset_docs.parquet"),
+                   compression="zstd")
+    golden = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "encoding": [d["encoding"] for d in docs],
+            "source": [d["source"] for d in docs],
+            "n_chars": [d["n_chars"] for d in docs],
+            "text": [d["text"] for d in docs],
+        },
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("encoding", pa.string()),
+             ("source", pa.string()), ("n_chars", pa.int64()),
+             ("text", pa.string())]
+        ),
+    )
+    pq.write_table(golden, os.path.join(out_dir, "charset_golden.parquet"),
+                   compression="zstd")
+    print(f"wrote charset_docs/charset_golden: {n} rows")
+
+
 def build(out_dir: str = FIXTURES_DIR) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for tier, n in TIERS.items():
@@ -350,6 +388,7 @@ def build(out_dir: str = FIXTURES_DIR) -> None:
     build_semantic(out_dir)
     build_warc(out_dir)
     build_langid(out_dir)
+    build_charset_fixtures(out_dir)
 
 
 if __name__ == "__main__":

@@ -163,6 +163,29 @@ def _is_textract_json(text: str) -> bool:
     )
 
 
+# controls legal in text; everything else in C0 + DEL/C1 counts as binary
+_CTRL_OK = frozenset((9, 10, 12, 13))
+
+
+def _sniff_text(content: bytes) -> str | None:
+    """Charset-sniff fallback for payloads that are not strict UTF-8 (the
+    real web: ~1 in 5 pages is legacy-encoded). Runs the WHATWG chain
+    (kernels/charset) and accepts the result only if it *looks like text*
+    (<= 5% control characters) — the windows-1252 step is total, so
+    without the gate every binary blob would decode to mojibake "text".
+    Returns None for binary: the caller keeps the UNKNOWN route."""
+    from .charset import sniff_decode
+
+    text = sniff_decode(content).text
+    if not text:
+        return None
+    ctrl = sum(
+        1 for ch in text
+        if (o := ord(ch)) < 0xA0 and (o < 32 and o not in _CTRL_OK or o >= 0x7F)
+    )
+    return text if ctrl <= 0.05 * len(text) else None
+
+
 def detect_content_type_and_text(
     content: bytes, name_hint: str | None = None
 ) -> tuple[str, str | None]:
@@ -194,7 +217,11 @@ def detect_content_type_and_text(
     try:
         text = content.decode("utf-8")
     except UnicodeDecodeError:
-        return (IMAGE, None) if _is_ascii_image_magic(content) else (UNKNOWN, None)
+        if _is_ascii_image_magic(content):
+            return IMAGE, None
+        text = _sniff_text(content)
+        if text is None:
+            return UNKNOWN, None
     lowered = text[:2048].lower()
     if "<html" in lowered or "<!doctype html" in lowered or "<body" in lowered:
         return HTML, text
