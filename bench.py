@@ -137,6 +137,14 @@ def main() -> int:
     timed("doc_quality", lambda: q_doc_quality(spark, sf_dir)
           .agg(F.avg("top2gram_char_fraction"),
                F.avg("dup5gram_char_fraction")).collect())
+    from intelligent_document_processing_on_aws_spark.operators.packing import (
+        sentence_chunk_docs,
+    )
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    timed("sentence_chunks", lambda: sentence_chunk_docs(
+        spark.read.parquet(docs_path), max_tokens=512
+    ).count())
     timed("tier_rollup", lambda: q_tier_rollup(spark, sf_dir).collect())
     timed("tier_mix", lambda: q_tier_mix(spark, sf_dir).collect())
     timed("source_cap", lambda: q_source_cap(spark, sf_dir).count())

@@ -460,6 +460,51 @@ def build_sentence_fixtures(out_dir: str = FIXTURES_DIR,
           f"{n} docs, {len(s_ids)} sentences, {len(c_ids)} chunks")
 
 
+N_SITEMAPS = 320
+
+
+def build_sitemap_fixtures(out_dir: str = FIXTURES_DIR,
+                           n: int = N_SITEMAPS) -> None:
+    from .sitemap_gen import gen_sitemap_docs
+
+    docs = gen_sitemap_docs(n)
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "family": [d["family"] for d in docs],
+            "raw": [d["raw"] for d in docs],
+        },
+        schema=pa.schema([("doc_id", pa.int64()), ("family", pa.string()),
+                          ("raw", pa.binary())]),
+    )
+    pq.write_table(table, os.path.join(out_dir, "sitemap_docs.parquet"),
+                   compression="zstd")
+
+    ids, eids, kinds, locs, lms, cfs, prs = [], [], [], [], [], [], []
+    for d in docs:
+        if d["kind"] == "error":
+            ids.append(d["doc_id"]); eids.append(None); kinds.append("error")
+            locs.append(None); lms.append(None); cfs.append(None)
+            prs.append(None)
+            continue
+        for j, e in enumerate(d["entries"]):
+            ids.append(d["doc_id"]); eids.append(j); kinds.append(d["kind"])
+            locs.append(e["loc"]); lms.append(e["lastmod_epoch"])
+            cfs.append(e["changefreq"]); prs.append(e["priority"])
+    golden = pa.Table.from_pydict(
+        {"doc_id": ids, "entry_id": eids, "kind": kinds, "loc": locs,
+         "lastmod_epoch": lms, "changefreq": cfs, "priority": prs},
+        schema=pa.schema([("doc_id", pa.int64()), ("entry_id", pa.int64()),
+                          ("kind", pa.string()), ("loc", pa.string()),
+                          ("lastmod_epoch", pa.int64()),
+                          ("changefreq", pa.string()),
+                          ("priority", pa.float64())]),
+    )
+    pq.write_table(golden, os.path.join(out_dir, "sitemap_golden.parquet"),
+                   compression="zstd")
+    print(f"wrote sitemap_docs/sitemap_golden: {n} docs, {len(ids)} rows")
+
+
 def build(out_dir: str = FIXTURES_DIR) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for tier, n in TIERS.items():
@@ -482,6 +527,7 @@ def build(out_dir: str = FIXTURES_DIR) -> None:
     build_charset_fixtures(out_dir)
     build_html_meta_fixtures(out_dir)
     build_sentence_fixtures(out_dir)
+    build_sitemap_fixtures(out_dir)
 
 
 if __name__ == "__main__":

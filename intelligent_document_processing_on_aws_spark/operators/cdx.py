@@ -178,3 +178,43 @@ def canonical_captures(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def frontier_fetchlist(
+    entries: DataFrame,
+    captures: DataFrame,
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod_epoch",
+    url_col: str = "url",
+    ts_col: str = "capture_ts",
+) -> DataFrame:
+    """Sitemap entries x capture index -> the new-or-stale fetch list
+    (the polite-recrawl frontier).
+
+    A URL is fetched when it has never been captured (``new``) or its
+    sitemap-declared lastmod postdates the latest capture (``stale``);
+    captured URLs without a declared lastmod are trusted as fresh.
+    Output: (loc, lastmod_epoch, capture_ts, reason).
+
+    Shape: both sides reduce map-side first (partial-agg max per key:
+    entries to one declared-lastmod per loc, captures to one latest ts
+    per url), so the join moves one row per DISTINCT url, not one per
+    capture — at 100 TB the index's 100-captures-per-url history never
+    crosses the wire. The join itself is a plain hash join on the url
+    key (AQE-coalesced); no windows, no Python."""
+    e = entries.groupBy(F.col(loc_col).alias("loc")).agg(
+        F.max(lastmod_col).alias("lastmod_epoch"))
+    c = captures.groupBy(F.col(url_col).alias("__url")).agg(
+        F.max(ts_col).alias("capture_ts"))
+    j = e.join(c, e["loc"] == c["__url"], "left")
+    return (
+        j.where(
+            F.col("capture_ts").isNull()
+            | (F.col("lastmod_epoch") > F.col("capture_ts"))
+        )
+        .select(
+            "loc", "lastmod_epoch", "capture_ts",
+            F.when(F.col("capture_ts").isNull(), F.lit("new"))
+             .otherwise(F.lit("stale")).alias("reason"),
+        )
+    )

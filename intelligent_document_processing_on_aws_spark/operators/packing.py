@@ -154,3 +154,62 @@ def shard_manifest(
             F.lit(0),
         ).cast("long").alias("start_token"),
     )
+
+
+def sentence_chunk_docs(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-aware chunking over a document table: segment each
+    document (kernels/sentences rule-based splitter), then greedy-pack
+    whole sentences into ``max_tokens``-token windows — chunks never
+    cut mid-sentence (the segment-then-pack context-window recipe).
+
+    Returns (doc_id, chunk_id, n_sentences, n_tokens, text); chunk_id
+    is per-document.
+
+    Scale shape: ONE Arrow mapInPandas pass, zero shuffles — both
+    passes are per-document string scans, so the stage scales exactly
+    like the scan at any corpus size.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..kernels.sentences import pack_chunks, split_sentences
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("chunk_id", T.LongType()),
+            T.StructField("n_sentences", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cids, ns, nt, txts = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for ch in pack_chunks(split_sentences(text or ""),
+                                      max_tokens):
+                    ids.append(doc_id)
+                    cids.append(ch["chunk_id"])
+                    ns.append(ch["n_sentences"])
+                    nt.append(ch["n_tokens"])
+                    txts.append(ch["text"])
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "chunk_id": pd.Series(cids, dtype="int64"),
+                 "n_sentences": pd.Series(ns, dtype="int64"),
+                 "n_tokens": pd.Series(nt, dtype="int64"),
+                 "text": pd.Series(txts, dtype="object")}
+            )
+
+    src = docs.select(F.col(doc_id_col).alias("doc_id"),
+                      F.col(text_col).alias("text"))
+    return src.mapInPandas(run, schema)

@@ -74,7 +74,7 @@ def main() -> int:
     failures = []
     results = {}
     for name, fn in qs.items():
-        if args.only and name != args.only:
+        if args.only and name not in args.only.split(","):
             continue
         try:
             sdf = fn(spark, args.sf_dir).toPandas()

@@ -538,3 +538,50 @@ def test_winnow_fingerprints_plan_single_doc_exchange(spark):
     assert "MapInPandas" not in plan
     assert plan.count("hashpartitioning(doc_id") <= 2, plan[:2000]
     assert "Window" in plan
+
+
+def test_sentence_queries_plan_map_only(spark):
+    """sentence_segments / sentence_chunks: ONE Arrow MapInPandas
+    directly over the pruned parquet scan — zero Exchange, zero
+    row-Python. Segmentation and packing are per-document, so at 100 TB
+    both stages scale exactly like the scan."""
+    from intelligent_document_processing_on_aws_spark.entry_queries import (
+        q_sentence_chunks,
+        q_sentence_segments,
+    )
+
+    for q in (q_sentence_segments, q_sentence_chunks):
+        df = q(spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan, plan[:2000]
+        assert plan.count("MapInPandas") == 1
+        formatted = _formatted(df)
+        read = formatted.split("ReadSchema:")[-1].split("\n")[0]
+        assert "family" not in read  # column pruning: only doc_id, text
+
+
+def test_sitemap_queries_plan_shapes(spark):
+    """sitemap_entries: one Arrow MapInPandas over the binary scan —
+    zero Exchange. sitemap_fetchlist: both sides reduce via partial
+    hash aggregates before ONE url-key join (<=3 Exchanges total:
+    two agg shuffles + AQE artifacts), so only one row per distinct
+    url crosses the wire — never one per capture."""
+    from intelligent_document_processing_on_aws_spark.entry_queries import (
+        q_sitemap_entries,
+        q_sitemap_fetchlist,
+    )
+
+    df = q_sitemap_entries(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("MapInPandas") == 1
+
+    df = q_sitemap_fetchlist(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange") <= 3, plan[:3000]
+    # partial aggregation must precede the exchanges on both sides
+    assert plan.count("HashAggregate") >= 4, plan[:3000]
