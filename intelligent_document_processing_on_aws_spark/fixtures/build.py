@@ -505,6 +505,54 @@ def build_sitemap_fixtures(out_dir: str = FIXTURES_DIR,
     print(f"wrote sitemap_docs/sitemap_golden: {n} docs, {len(ids)} rows")
 
 
+N_FEEDS = 320
+
+
+def build_feed_fixtures(out_dir: str = FIXTURES_DIR,
+                        n: int = N_FEEDS) -> None:
+    from .feeds_gen import gen_feed_docs
+
+    docs = gen_feed_docs(n)
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "family": [d["family"] for d in docs],
+            "raw": [d["raw"] for d in docs],
+        },
+        schema=pa.schema([("doc_id", pa.int64()), ("family", pa.string()),
+                          ("raw", pa.binary())]),
+    )
+    pq.write_table(table, os.path.join(out_dir, "feed_docs.parquet"),
+                   compression="zstd")
+
+    cols = {k: [] for k in ("doc_id", "entry_id", "kind", "feed_title",
+                            "link", "title", "guid", "pub_epoch")}
+    for d in docs:
+        if d["kind"] == "error":
+            cols["doc_id"].append(d["doc_id"]); cols["entry_id"].append(None)
+            cols["kind"].append("error"); cols["feed_title"].append(None)
+            cols["link"].append(None); cols["title"].append(None)
+            cols["guid"].append(None); cols["pub_epoch"].append(None)
+            continue
+        for j, e in enumerate(d["entries"]):
+            cols["doc_id"].append(d["doc_id"]); cols["entry_id"].append(j)
+            cols["kind"].append(d["kind"])
+            cols["feed_title"].append(d["feed_title"])
+            cols["link"].append(e["link"]); cols["title"].append(e["title"])
+            cols["guid"].append(e["guid"])
+            cols["pub_epoch"].append(e["pub_epoch"])
+    golden = pa.Table.from_pydict(
+        cols,
+        schema=pa.schema([("doc_id", pa.int64()), ("entry_id", pa.int64()),
+                          ("kind", pa.string()), ("feed_title", pa.string()),
+                          ("link", pa.string()), ("title", pa.string()),
+                          ("guid", pa.string()), ("pub_epoch", pa.int64())]),
+    )
+    pq.write_table(golden, os.path.join(out_dir, "feed_golden.parquet"),
+                   compression="zstd")
+    print(f"wrote feed_docs/feed_golden: {n} docs, {len(cols['doc_id'])} rows")
+
+
 def build(out_dir: str = FIXTURES_DIR) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for tier, n in TIERS.items():
@@ -528,6 +576,7 @@ def build(out_dir: str = FIXTURES_DIR) -> None:
     build_html_meta_fixtures(out_dir)
     build_sentence_fixtures(out_dir)
     build_sitemap_fixtures(out_dir)
+    build_feed_fixtures(out_dir)
 
 
 if __name__ == "__main__":

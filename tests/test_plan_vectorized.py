@@ -585,3 +585,17 @@ def test_sitemap_queries_plan_shapes(spark):
     assert plan.count("Exchange") <= 3, plan[:3000]
     # partial aggregation must precede the exchanges on both sides
     assert plan.count("HashAggregate") >= 4, plan[:3000]
+
+
+def test_feed_entries_plan_map_only(spark):
+    """feed_entries: one Arrow MapInPandas over the binary scan — zero
+    Exchange; feed parsing scales exactly like the scan."""
+    from intelligent_document_processing_on_aws_spark.entry_queries import (
+        q_feed_entries,
+    )
+
+    df = q_feed_entries(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("MapInPandas") == 1
