@@ -104,3 +104,22 @@ def test_differential_against_generator_facts():
                 "pub_epoch": e.pub_epoch} for e in r.entries]
         assert got == d["entries"], d["doc_id"]
         assert r.n_skipped == d["n_skipped"], d["doc_id"]
+
+
+def test_fuzz_totality_random_bytes():
+    import random as _r
+
+    rng = _r.Random("feeds-fuzz-42")
+    for _ in range(300):
+        n = rng.randrange(0, 400)
+        raw = bytes(rng.randrange(256) for _ in range(n))
+        r = parse_feed(raw)             # must never raise
+        assert r.kind in ("rss", "atom", "error")
+    frags = ("<rss>", "<channel>", "<item>", "<link>", "</link>",
+             "</item>", "<feed>", "<entry>", '<link href="x"/>',
+             "<pubDate>", "Tue, 99 Foo", "<![CDATA[", "]]>", "&#x2014;",
+             "</feed>", "<updated>")
+    for _ in range(300):
+        raw = "".join(rng.choice(frags)
+                      for _ in range(rng.randrange(1, 30))).encode()
+        parse_feed(raw)

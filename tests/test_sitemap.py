@@ -129,3 +129,22 @@ def test_frontier_fetchlist_semantics(spark):
     # -> stale; u3 declared 50 <= 100 -> fresh (absent); u4 captured,
     # no declared lastmod -> trusted fresh (absent)
     assert rows == {"u1": ("new", None), "u2": ("stale", 150)}
+
+
+def test_fuzz_totality_random_bytes():
+    import random as _r
+
+    rng = _r.Random("sitemap-fuzz-42")
+    for _ in range(300):
+        n = rng.randrange(0, 400)
+        raw = bytes(rng.randrange(256) for _ in range(n))
+        r = parse_sitemap(raw)          # must never raise
+        assert r.kind in ("urlset", "sitemapindex", "error")
+    # xml-ish junk: random tag soup
+    frags = ("<urlset>", "<url>", "<loc>", "</loc>", "</url>", "&amp;",
+             "<lastmod>", "2024-13-99", "<![CDATA[", "]]>", "<priority>",
+             "\xe9—", "</urlset>", "<sitemapindex>")
+    for _ in range(300):
+        raw = "".join(rng.choice(frags)
+                      for _ in range(rng.randrange(1, 30))).encode()
+        parse_sitemap(raw)
