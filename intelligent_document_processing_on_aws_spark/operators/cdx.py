@@ -218,3 +218,52 @@ def frontier_fetchlist(
              .otherwise(F.lit("stale")).alias("reason"),
         )
     )
+
+
+def politeness_schedule(
+    fetchlist: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay: int = 1,
+    start_epoch: int = 0,
+    max_per_host: int | None = None,
+    loc_col: str = "loc",
+) -> DataFrame:
+    """Fetch list -> per-host politeness schedule.
+
+    Crawling is rate-limited PER HOST (robots Crawl-delay or a default
+    courtesy gap); a fetch plan that ignores this hammers servers and
+    gets the crawler blocked. This assigns every URL its in-host slot:
+    ``fetch_seq`` (1-based, deterministic loc order) and ``eta_epoch``
+    = start + (seq-1) * host_delay — the earliest polite fetch time.
+
+    ``delays``: optional (host, crawl_delay) table (seconds); hosts
+    absent from it use ``default_delay``. ``max_per_host`` drops URLs
+    beyond the per-host budget — the standard giant-host guard.
+
+    Output: (loc, host, fetch_seq, eta_epoch).
+
+    Shape: host extraction is a native regexp (engine-portable, the
+    same pattern the DuckDB oracle runs); one Exchange on host feeds
+    the sequence window; the rank-limit spelling lets Spark plan
+    WindowGroupLimit, so a 10M-URL host prunes to its budget map-side
+    BEFORE the shuffle; the delay table is broadcast (hosts are a tiny
+    dimension vs URLs). Politeness is inherently sequential per host —
+    the per-host window IS the semantics, not an implementation
+    choice; skew is bounded by max_per_host."""
+    host = F.regexp_extract(F.col(loc_col), r"^https?://([^/]+)", 1)
+    df = fetchlist.select(F.col(loc_col).alias("loc"), host.alias("host"))
+    w = Window.partitionBy("host").orderBy(F.col("loc").asc())
+    df = df.withColumn("fetch_seq", F.row_number().over(w))
+    if max_per_host is not None:
+        df = df.where(F.col("fetch_seq") <= max_per_host)
+    if delays is not None:
+        df = df.join(F.broadcast(delays), "host", "left")
+        delay = F.coalesce(F.col("crawl_delay"),
+                           F.lit(default_delay).cast("long"))
+    else:
+        delay = F.lit(default_delay).cast("long")
+    return df.select(
+        "loc", "host", "fetch_seq",
+        (F.lit(start_epoch).cast("long")
+         + (F.col("fetch_seq") - 1) * delay).alias("eta_epoch"),
+    )

@@ -599,3 +599,18 @@ def test_feed_entries_plan_map_only(spark):
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan, plan[:2000]
     assert plan.count("MapInPandas") == 1
+
+
+def test_fetch_schedule_plan_windowgrouplimit(spark):
+    """fetch_schedule: the max_per_host rank-limit must plan
+    WindowGroupLimit (giant hosts prune map-side BEFORE the host
+    Exchange); the crawl-delay join must broadcast; zero Python."""
+    from intelligent_document_processing_on_aws_spark.entry_queries import (
+        q_fetch_schedule,
+    )
+
+    plan = _plan(q_fetch_schedule(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]

@@ -148,3 +148,28 @@ def test_fuzz_totality_random_bytes():
         raw = "".join(rng.choice(frags)
                       for _ in range(rng.randrange(1, 30))).encode()
         parse_sitemap(raw)
+
+
+def test_politeness_schedule_semantics(spark):
+    from intelligent_document_processing_on_aws_spark.operators.cdx import (
+        politeness_schedule,
+    )
+
+    fetch = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/2",), ("https://a.com/3",),
+         ("https://b.com/x",)],
+        "loc string",
+    )
+    delays = spark.createDataFrame([("a.com", 10)],
+                                   "host string, crawl_delay long")
+    rows = {r["loc"]: (r["fetch_seq"], r["eta_epoch"])
+            for r in politeness_schedule(
+                fetch, delays=delays, default_delay=2, start_epoch=100,
+                max_per_host=2).collect()}
+    # a.com: delay 10, loc order 1,2,3 -> seqs 1,2 (3 dropped by cap)
+    # b.com: absent from delays -> default 2
+    assert rows == {
+        "https://a.com/1": (1, 100),
+        "https://a.com/2": (2, 110),
+        "https://b.com/x": (1, 100),
+    }
