@@ -19,9 +19,13 @@ Implemented subset (the normative core):
   specific agent group suppresses the ``*`` group (per the RFC: a
   crawler obeys the most specific matching group only).
 
+Also parsed: the non-normative ``Crawl-delay`` extension (seconds,
+float accepted; first valid value per group wins — the de-facto
+behavior), feeding operators/cdx.politeness_schedule.
+
 Not implemented (documented boundary): percent-encoding normalization
-of rule/path octets and the non-normative ``Crawl-delay`` /
-``Sitemap`` extensions (sitemap lines are surfaced, not interpreted).
+of rule/path octets; ``Sitemap`` lines are surfaced by callers, not
+interpreted here (kernels/sitemap parses the documents they point at).
 
 Pure stdlib, deterministic; shared by Spark executors, tests, and the
 DuckDB-oracle builder (rules embed as literals — the parse of a
@@ -35,8 +39,9 @@ def parse_robots(text: str) -> list[dict]:
     """Parse a robots.txt body into groups.
 
     Returns [{"agents": [lowercased tokens], "rules": [(allow: bool,
-    pattern: str), ...]}, ...].  Rules keep file order; empty-valued
-    Disallow lines are dropped (they forbid nothing).
+    pattern: str), ...], "crawl_delay": float | None}, ...].  Rules
+    keep file order; empty-valued Disallow lines are dropped (they
+    forbid nothing); the first valid Crawl-delay per group wins.
     """
     groups: list[dict] = []
     current: dict | None = None
@@ -50,7 +55,7 @@ def parse_robots(text: str) -> list[dict]:
         value = value.strip()
         if field == "user-agent":
             if current is None or expecting_rules:
-                current = {"agents": [], "rules": []}
+                current = {"agents": [], "rules": [], "crawl_delay": None}
                 groups.append(current)
                 expecting_rules = False
             current["agents"].append(value.lower())
@@ -63,12 +68,35 @@ def parse_robots(text: str) -> list[dict]:
             if field == "allow" and value == "":
                 continue
             current["rules"].append((field == "allow", value))
+        elif field == "crawl-delay":
+            if current is not None:
+                expecting_rules = True
+                if current["crawl_delay"] is None:
+                    try:
+                        d = float(value)
+                    except ValueError:
+                        d = None
+                    if d is not None and d >= 0:
+                        current["crawl_delay"] = d
         else:
             # unknown directive: ends the user-agent run but stays in
-            # the group (sitemap/crawl-delay etc. are non-normative)
+            # the group (sitemap etc. are non-normative)
             if current is not None:
                 expecting_rules = True
     return groups
+
+
+def crawl_delay_for_agent(groups: list[dict], agent: str) -> float | None:
+    """The Crawl-delay governing ``agent``: first non-None delay among
+    groups naming the agent exactly; absent any, among ``*`` groups;
+    absent both, None (caller applies its default)."""
+    agent = (agent or "*").lower()
+    exact = [g for g in groups if agent in g["agents"]]
+    chosen = exact or [g for g in groups if "*" in g["agents"]]
+    for g in chosen:
+        if g.get("crawl_delay") is not None:
+            return g["crawl_delay"]
+    return None
 
 
 def rules_for_agent(groups: list[dict], agent: str) -> list[tuple[bool, str]]:

@@ -104,3 +104,36 @@ def test_robots_gate_end_to_end(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_crawl_delay_parsing_and_agent_resolution():
+    from intelligent_document_processing_on_aws_spark.kernels.robots import (
+        crawl_delay_for_agent,
+        parse_robots,
+    )
+
+    robots = """
+User-agent: fetchbot
+Crawl-delay: 2.5
+Disallow: /x
+
+User-agent: *
+Crawl-delay: 10
+Crawl-delay: 99
+Disallow: /y
+
+User-agent: nodelay
+Disallow: /z
+"""
+    groups = parse_robots(robots)
+    assert crawl_delay_for_agent(groups, "FetchBot") == 2.5
+    # first valid value per group wins
+    assert crawl_delay_for_agent(groups, "randombot") == 10.0
+    # exact group without a delay does NOT fall back to *
+    assert crawl_delay_for_agent(groups, "nodelay") is None
+    # invalid values ignored
+    g2 = parse_robots("User-agent: *\nCrawl-delay: soon\nDisallow: /a")
+    assert crawl_delay_for_agent(g2, "anybot") is None
+    # negative ignored
+    g3 = parse_robots("User-agent: *\nCrawl-delay: -5")
+    assert crawl_delay_for_agent(g3, "anybot") is None
