@@ -570,8 +570,9 @@ host-clustered. This bench measures the conservative salted path.
 
 ### r5 query-suite additions + three-scale oracle sweep
 
-Thirty-two new oracle-backed queries joined the suite this round,
-taking it from 49 (r4 gate) to 81 — web curation (`doc_word_stats`,
+Sixty-seven new oracle-backed queries joined the suite this round,
+taking it from 49 (r4 gate) to 116. The first batch of thirty-two —
+web curation (`doc_word_stats`,
 `badword_filter`, `domain_stats`/`domain_filter`, `mojibake_repair`,
 `script_profile`, `doc_percentiles`, `compression_signal` zlib-ratio
 junk gate with a shared-kernel data-derived oracle), dedup depth (`incremental_dedup`
@@ -599,11 +600,17 @@ of 3, same noisy-VM caveats as the headline suite): `substring_dedup`
 3.0 s, `incremental_dedup` 1.6 s, `mojibake_repair` 0.6 s; the rest
 are sub-second to ~2 s.
 
+The suite kept growing after that batch — winnowing, WAT, capture
+policies, charset/head-metadata, sentence segmentation + chunking,
+sitemap/feed parsing, the recrawl fetch list, and the per-host
+politeness schedule — ending the round at **116 queries, ALL with full
+value-hash oracles**.
+
 The full queries()/oracle_sql() surface was swept at ALL THREE committed
-scales this round (`scripts/check_oracles.py --json-out`, artifacts
-`CORRECTNESS_SWEEP_r05c_sf{{0.001,0.01,0.1}}.json`): **81/81 queries green
-at every scale** — every query has a FULL value-hash oracle, none
-degrade to rows-only — including the threshold-robust
+scales repeatedly through the round (`scripts/check_oracles.py
+--json-out`; final artifacts `CORRECTNESS_SWEEP_r05l_sf{{0.001,0.01,0.1}}.json`,
+earlier series record the in-round progression): **green at every
+scale, no rows-only degrades** — including the threshold-robust
 `dedup_minhash_lsh` oracle (guard band around J=0.800000) that closed
 the r4 verdict's only non-green cell, and a trunc6 operand-order fix in
 `mean_word_length` that ONLY the sf0.1 sweep exposed (mean exactly 4.1
