@@ -553,6 +553,39 @@ def build_feed_fixtures(out_dir: str = FIXTURES_DIR,
     print(f"wrote feed_docs/feed_golden: {n} docs, {len(cols['doc_id'])} rows")
 
 
+N_PAGEDATES = 320
+
+
+def build_pagedate_fixtures(out_dir: str = FIXTURES_DIR,
+                            n: int = N_PAGEDATES) -> None:
+    from .pagedate_gen import gen_pagedate_docs
+
+    docs = gen_pagedate_docs(n)
+    table = pa.Table.from_pydict(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "family": [d["family"] for d in docs],
+            "url": [d["url"] for d in docs],
+            "html": [d["html"] for d in docs],
+        },
+        schema=pa.schema([("doc_id", pa.int64()), ("family", pa.string()),
+                          ("url", pa.string()), ("html", pa.string())]),
+    )
+    pq.write_table(table, os.path.join(out_dir, "pagedate_docs.parquet"),
+                   compression="zstd")
+    golden = pa.Table.from_pydict(
+        {"doc_id": [d["doc_id"] for d in docs],
+         "date_epoch": [d["epoch"] for d in docs],
+         "date_source": [d["source"] for d in docs]},
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("date_epoch", pa.int64()),
+                          ("date_source", pa.string())]),
+    )
+    pq.write_table(golden, os.path.join(out_dir, "pagedate_golden.parquet"),
+                   compression="zstd")
+    print(f"wrote pagedate_docs/pagedate_golden: {n} rows")
+
+
 def build(out_dir: str = FIXTURES_DIR) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for tier, n in TIERS.items():
@@ -577,6 +610,7 @@ def build(out_dir: str = FIXTURES_DIR) -> None:
     build_sentence_fixtures(out_dir)
     build_sitemap_fixtures(out_dir)
     build_feed_fixtures(out_dir)
+    build_pagedate_fixtures(out_dir)
 
 
 if __name__ == "__main__":

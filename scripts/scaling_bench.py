@@ -603,8 +603,9 @@ are sub-second to ~2 s.
 The suite kept growing after that batch — winnowing, WAT, capture
 policies, charset/head-metadata, sentence segmentation + chunking,
 sitemap/feed parsing, the recrawl fetch list, and the per-host
-politeness schedule — ending the round at **116 queries, ALL with full
-value-hash oracles**.
+politeness schedule — ending the round at **117 queries, ALL with full
+value-hash oracles** (the 116-query `CORRECTNESS_SWEEP_r05l` sweep
+predates the final `page_dates` addition, itself oracle-checked).
 
 The full queries()/oracle_sql() surface was swept at ALL THREE committed
 scales repeatedly through the round (`scripts/check_oracles.py

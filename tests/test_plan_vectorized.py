@@ -614,3 +614,20 @@ def test_fetch_schedule_plan_windowgrouplimit(spark):
     assert "MapInPandas" not in plan
     assert "WindowGroupLimit" in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_page_dates_plan_map_only(spark):
+    """page_dates: one Arrow MapInPandas over the pruned scan — zero
+    Exchange; date extraction scales exactly like the scan."""
+    from intelligent_document_processing_on_aws_spark.entry_queries import (
+        q_page_dates,
+    )
+
+    df = q_page_dates(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("MapInPandas") == 1
+    formatted = _formatted(df)
+    read = formatted.split("ReadSchema:")[-1].split("\n")[0]
+    assert "family" not in read
