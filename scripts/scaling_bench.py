@@ -604,12 +604,11 @@ The suite kept growing after that batch — winnowing, WAT, capture
 policies, charset/head-metadata, sentence segmentation + chunking,
 sitemap/feed parsing, the recrawl fetch list, and the per-host
 politeness schedule — ending the round at **117 queries, ALL with full
-value-hash oracles** (the 116-query `CORRECTNESS_SWEEP_r05l` sweep
-predates the final `page_dates` addition, itself oracle-checked).
+value-hash oracles**.
 
 The full queries()/oracle_sql() surface was swept at ALL THREE committed
 scales repeatedly through the round (`scripts/check_oracles.py
---json-out`; final artifacts `CORRECTNESS_SWEEP_r05l_sf{{0.001,0.01,0.1}}.json`,
+--json-out`; final artifacts `CORRECTNESS_SWEEP_r05m_sf{{0.001,0.01,0.1}}.json` (117/117 at every scale),
 earlier series record the in-round progression): **green at every
 scale, no rows-only degrades** — including the threshold-robust
 `dedup_minhash_lsh` oracle (guard band around J=0.800000) that closed
