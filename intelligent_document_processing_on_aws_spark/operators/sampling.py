@@ -192,3 +192,56 @@ def temperature_sample(
         .where(bucket < F.col("rate_ppm"))
         .drop("stratum", "t_tokens", "w_ppm", "rate_ppm")
     )
+
+
+def recency_weight_ppm(
+    date_epoch_col,
+    now_epoch: int,
+    half_life_days: int = 180,
+    max_halvings: int = 20,
+):
+    """Exponential recency decay as an EXACT integer: the survival
+    weight (ppm) halves every ``half_life_days`` of age, computed as
+    floor(1e6 / 2^halvings) with halvings = clamp(age_days //
+    half_life_days, 0, max_halvings). Quantizing halvings to whole
+    half-lives keeps every value a finite double (2^k, k <= 20) so the
+    weight is bit-identical in Spark and DuckDB — no exp()/ln() drift.
+    Ages beyond max_halvings half-lives weigh 0 (the doc drops)."""
+    # explicit FLOOR at every step: DuckDB's double->int CAST rounds
+    # while Spark's truncates — floor is the one semantics both engines
+    # spell identically (values are non-negative, so floor == trunc)
+    age_days = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor((F.lit(now_epoch).cast("long")
+                 - date_epoch_col.cast("long")) / F.lit(86400)),
+    )
+    halvings = F.least(F.floor(age_days / F.lit(half_life_days)),
+                       F.lit(max_halvings).cast("long"))
+    return F.floor(F.lit(1_000_000) / F.pow(F.lit(2.0), halvings)) \
+        .cast("long")
+
+
+def recency_downsample(
+    docs: DataFrame,
+    now_epoch: int,
+    date_epoch_col: str = "date_epoch",
+    half_life_days: int = 180,
+    seed: str = "recency-42",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Recency-weighted deterministic downsample: each document
+    survives with probability equal to its decayed weight (fresh docs
+    ~always kept, each half-life of age halves survival) via the
+    stable hash-Bernoulli convention — rerun- and partitioning-stable,
+    no RNG state. The freshness-biased corpus mix (recency is the axis
+    the published-date ladder extracts).
+
+    Map-only: weight and keep-bit are pure row functions — zero
+    shuffles at any corpus size."""
+    w = recency_weight_ppm(F.col(date_epoch_col), now_epoch,
+                           half_life_days)
+    bucket = sample_bucket_ppm(F.col(doc_id_col), seed)
+    return (
+        docs.withColumn("weight_ppm", w)
+        .where(bucket < F.col("weight_ppm"))
+    )

@@ -631,3 +631,19 @@ def test_page_dates_plan_map_only(spark):
     formatted = _formatted(df)
     read = formatted.split("ReadSchema:")[-1].split("\n")[0]
     assert "family" not in read
+
+
+def test_recency_mix_plan_map_side_weight(spark):
+    """recency_mix: weight + keep-bit are pure row functions (no
+    Python, no window); the only Exchange is the tiny per-source
+    rollup with a map-side partial aggregate."""
+    from intelligent_document_processing_on_aws_spark.entry_queries import (
+        q_recency_mix,
+    )
+
+    plan = _plan(q_recency_mix(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert plan.count("HashAggregate") == 2, plan[:2000]
