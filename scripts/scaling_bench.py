@@ -603,12 +603,13 @@ are sub-second to ~2 s.
 The suite kept growing after that batch — winnowing, WAT, capture
 policies, charset/head-metadata, sentence segmentation + chunking,
 sitemap/feed parsing, the recrawl fetch list, and the per-host
-politeness schedule — ending the round at **117 queries, ALL with full
-value-hash oracles**.
+politeness schedule, the published-date ladder and the
+recency-weighted downsample — ending the round at **118 queries, ALL
+with full value-hash oracles**.
 
 The full queries()/oracle_sql() surface was swept at ALL THREE committed
 scales repeatedly through the round (`scripts/check_oracles.py
---json-out`; final artifacts `CORRECTNESS_SWEEP_r05m_sf{{0.001,0.01,0.1}}.json` (117/117 at every scale),
+--json-out`; final artifacts `CORRECTNESS_SWEEP_r05n_sf{{0.001,0.01,0.1}}.json` (118/118 at every scale),
 earlier series record the in-round progression): **green at every
 scale, no rows-only degrades** — including the threshold-robust
 `dedup_minhash_lsh` oracle (guard band around J=0.800000) that closed
