@@ -64,11 +64,24 @@ def char_trigram_buckets(text: str, n_buckets: int = DEFAULT_BUCKETS,
 
 def count_features(texts: list[str], n_buckets: int = DEFAULT_BUCKETS,
                    max_chars: int = MAX_CHARS) -> np.ndarray:
-    """(n_docs, n_buckets) float64 raw bucket-count matrix."""
+    """(n_docs, n_buckets) float64 raw bucket-count matrix.
+
+    Vectorized bit-identical image of char_trigram_buckets: codepoints
+    via a UTF-32 reinterpretation (== ord per char), the bucket
+    polynomial in exact int64, counts via bincount — integer throughout,
+    so X matches the per-trigram Python loop exactly while running ~50x
+    faster (the loop's 2M scalar `X[r, b] += 1` steps dominated
+    training time)."""
     X = np.zeros((len(texts), n_buckets), dtype=np.float64)
     for r, text in enumerate(texts):
-        for b in char_trigram_buckets(text, n_buckets, max_chars):
-            X[r, b] += 1.0
+        t = (text or "")[:max_chars]
+        if len(t) < 3:
+            continue
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32
+                              ).astype(np.int64)
+        buckets = ((codes[:-2] * 31 + codes[1:-1]) * 31
+                   + codes[2:]) % n_buckets
+        X[r] = np.bincount(buckets, minlength=n_buckets)
     return X
 
 
@@ -87,6 +100,11 @@ def train_softmax(
 
     Returns (W, b): W is (n_classes, n_buckets), b is (n_classes,).
     """
+    # tiny GEMMs + OpenBLAS thread pool = 20-100x slowdown next to a
+    # busy Spark scheduler; pinned result is bit-identical (blasctl.py)
+    from .blasctl import limit_blas_threads
+
+    limit_blas_threads(1)
     X = count_features(texts, n_buckets, max_chars)
     norms = X.sum(axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0

@@ -194,6 +194,9 @@ def kmeans_centroids(
     shared by the Spark index build (build_ivf_centroids) and the DuckDB
     oracle twin (entry_queries._ivf_oracle_centroids), so both derive
     bit-identical centroids from the same sample bytes."""
+    from ..kernels.blasctl import limit_blas_threads
+
+    limit_blas_threads(1)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rs = np.random.RandomState(seed)
     C = X[rs.choice(len(X), size=min(n_centroids, len(X)), replace=False)]

@@ -29,6 +29,12 @@ DEFAULT_CONFS = {
 
 def get_spark(app: str = "idp-spark", master: str | None = None,
               shuffle_partitions: int | None = None, **extra: str) -> SparkSession:
+    # Spark owns the parallelism: pin BLAS to 1 thread in this process
+    # (ctypes) and in the Python workers it forks (env var) — see
+    # kernels/blasctl.py for the measured 20-100x small-GEMM effect.
+    from .kernels.blasctl import limit_blas_threads
+
+    limit_blas_threads(1)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
