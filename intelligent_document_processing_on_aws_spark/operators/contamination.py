@@ -59,6 +59,12 @@ def _gram_windows(tok_col, n: int):
     Native ``transform`` over a 0..len-n index sequence — no explode yet,
     no Python.  Empty when the document has fewer than n tokens (the
     GPT-3 rule matches full n-grams only; shorter docs cannot collide).
+
+    ``tok_col`` MUST be an already-staged named column: an interpreted
+    higher-order lambda re-evaluates the expressions it closes over per
+    ELEMENT, so passing the raw split/filter tree makes every window
+    re-tokenize the document — O(L^2), measured ~4x slower at sf0.1
+    (the operators/dsir staging discipline).
     """
     return F.when(
         F.size(tok_col) >= n,
@@ -77,11 +83,14 @@ def eval_gram_keys(evals: DataFrame, n: int = DEFAULT_N,
     Output is small by construction (the eval set is small); callers
     broadcast it.  gram_key = xxhash64 of the gram text.
     """
-    toks = _token_array(F.col(text_col))
     return (
         evals.select(
             F.col(id_col).alias("eval_id"),
-            F.explode(_gram_windows(toks, n)).alias("gram"),
+            _token_array(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "eval_id",
+            F.explode(_gram_windows(F.col("__toks"), n)).alias("gram"),
         )
         .select("eval_id", F.xxhash64("gram").alias("gram_key"))
         .distinct()
@@ -106,10 +115,13 @@ def contamination_report(
     Clean documents appear with zero counts, so the output is a total
     function of the corpus (drop-or-keep decisions join back trivially).
     """
-    toks = _token_array(F.col(text_col))
-    doc_grams = corpus.select(
+    staged = corpus.select(
         F.col(doc_id_col).alias("doc_id"),
-        F.explode(_gram_windows(toks, n)).alias("gram"),
+        _token_array(F.col(text_col)).alias("__toks"),
+    )
+    doc_grams = staged.select(
+        "doc_id",
+        F.explode(_gram_windows(F.col("__toks"), n)).alias("gram"),
     ).select("doc_id", F.xxhash64("gram").alias("gram_key"))
 
     hits = doc_grams.join(
@@ -119,10 +131,10 @@ def contamination_report(
         F.count_distinct("gram_key").alias("n_hit_grams"),
         F.count_distinct("eval_id").alias("n_eval_ids"),
     )
-    base = corpus.select(
-        F.col(doc_id_col).alias("doc_id"),
+    base = staged.select(
+        "doc_id",
         F.greatest(
-            F.size(toks) - F.lit(n - 1), F.lit(0)
+            F.size(F.col("__toks")) - F.lit(n - 1), F.lit(0)
         ).alias("n_windows"),
     )
     return (
@@ -149,10 +161,12 @@ def decontaminate(
     Same broadcast-semi-join shape as contamination_report but keeps the
     corpus row intact; the semi join never widens the corpus rows.
     """
-    toks = _token_array(F.col(text_col))
     doc_grams = corpus.select(
         F.col(doc_id_col).alias("__cid"),
-        F.explode(_gram_windows(toks, n)).alias("gram"),
+        _token_array(F.col(text_col)).alias("__toks"),
+    ).select(
+        "__cid",
+        F.explode(_gram_windows(F.col("__toks"), n)).alias("gram"),
     ).select("__cid", F.xxhash64("gram").alias("gram_key"))
     dirty = (
         doc_grams.join(
@@ -205,14 +219,17 @@ def decontaminate_stream(
     keys = (
         evals if isinstance(evals, list) else eval_gram_key_list(evals, n)
     )
-    toks = _token_array(F.col(text_col))
-    gram_keys = F.transform(
-        _gram_windows(toks, n), lambda g: F.xxhash64(g)
-    )
     if not keys:
         return corpus
-    return corpus.where(
-        ~F.arrays_overlap(
-            gram_keys, F.lit(keys).cast("array<bigint>")
+    # stage the token array (see _gram_windows), hash windows, compare —
+    # all inside one filter over the scan; the helper column is dropped
+    staged = corpus.withColumn("__toks", _token_array(F.col(text_col)))
+    gram_keys = F.transform(
+        _gram_windows(F.col("__toks"), n), lambda g: F.xxhash64(g)
+    )
+    return (
+        staged.where(
+            ~F.arrays_overlap(gram_keys, F.lit(keys).cast("array<bigint>"))
         )
+        .drop("__toks")
     )

@@ -82,6 +82,27 @@ def _shingles_df(docs: DataFrame, text_col: str, k: int = 3) -> DataFrame:
     )
 
 
+def _shingle_keys_df(docs: DataFrame, text_col: str, k: int = 3) -> DataFrame:
+    """(doc_id, sh) distinct 64-bit shingle keys: the k token columns are
+    fed to xxhash64 DIRECTLY, so no shingle string is ever materialized —
+    the concat_ws + hash-the-string spelling paid one string allocation
+    per window position (measured ~35% of the shingle pass at sf0.1).
+    Tokens contain no whitespace, so triple identity == joined-string
+    identity; distinct-by-hash == distinct-by-string absent a 64-bit
+    collision (the documented convention of the hashed join keys)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    with_toks = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= k)
+    keys = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.xxhash64(
+            *[F.element_at("toks", i + off) for off in range(k)]
+        ),
+    )
+    return with_toks.select(
+        "doc_id", F.explode(F.array_distinct(keys)).alias("sh")
+    )
+
+
 DEFAULT_MAX_DF = 1000
 
 
@@ -117,9 +138,22 @@ def ngram_jaccard_pairs(
     shingle without ever concentrating its posting list on one task, so
     a boilerplate shingle present in 10^10 docs is counted and dropped
     without its postings ever being shuffled by shingle key."""
-    sh = _shingles_df(docs, text_col, k).select(
-        "doc_id", F.xxhash64("shingle").alias("sh")
-    )
+    sh = _shingle_keys_df(docs, text_col, k)
+    # materialize the posting table once, BEFORE the df-cap: the cap's
+    # violator count is itself derived from the postings, so capping
+    # first made the checkpoint's materialization run the shingle pass
+    # twice (once for the broadcast violator subtree, once for the
+    # anti-join's left side) — at 100 TB that's two corpus re-shingles
+    # instead of one. Checkpointing the UNCAPPED table lets the violator
+    # count and every downstream branch read the cached blocks; the
+    # anti-join itself is a map-side broadcast re-applied per branch at
+    # scan cost. Lazy localCheckpoint = the standard "build the index
+    # once" step (computed on first use, executor-storage reuse after,
+    # lineage truncated). materialize=False keeps the full lineage (plan
+    # audits, debugging); checkpoint_dir switches to a RELIABLE
+    # checkpoint for fault tolerance on long multi-executor runs.
+    if materialize:
+        sh = _truncate_lineage(sh, checkpoint_dir, eager=False)
     if max_df is not None:
         violators = (
             sh.groupBy("sh").agg(F.count("*").alias("df"))
@@ -127,17 +161,6 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(F.broadcast(violators), "sh", "left_anti")
-    # materialize the (capped) posting table once: it feeds FOUR plan
-    # branches (sizes + both self-join sides + the df-count above), and
-    # without a checkpoint each branch re-tokenizes the corpus — at
-    # 100 TB that's re-shingling everything 4x. Lazy localCheckpoint =
-    # the standard "build the index once" step (computed on first use,
-    # executor-storage reuse after, lineage truncated).
-    # materialize=False keeps the full lineage (plan audits, debugging);
-    # checkpoint_dir switches to a RELIABLE checkpoint for fault tolerance
-    # on long multi-executor runs.
-    if materialize:
-        sh = _truncate_lineage(sh, checkpoint_dir, eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -258,11 +281,15 @@ def minhash_lsh_pairs(
     """
     band_df = minhash_band_df(docs, num_perm=num_perm, bands=bands, k=k,
                               text_col=text_col)
-    band_df = _cap_buckets(band_df, ["band_key"], max_bucket)
-    # signature computation feeds both self-join sides (and the cap count
-    # above): checkpoint so MinHash runs ONCE per doc, not per branch
+    # checkpoint BEFORE the bucket cap: the cap's violator count reads
+    # the signature table too, so capping first made the checkpoint
+    # materialization run the (Python) MinHash pass twice — once for the
+    # broadcast violator subtree, once for the anti-join's left side.
+    # Checkpointing the uncapped table runs MinHash ONCE per doc; the
+    # cap re-applies as a map-side broadcast anti-join per branch.
     if materialize:
         band_df = _truncate_lineage(band_df, checkpoint_dir, eager=False)
+    band_df = _cap_buckets(band_df, ["band_key"], max_bucket)
     a = band_df.alias("a")
     b = band_df.alias("b")
     candidates = (
@@ -272,15 +299,16 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verify: join shingle sets of candidates only (checkpointed —
-    # the table feeds sizes + both posting sides)
-    sh = _shingles_df(docs, text_col, k)
+    # the table feeds sizes + both posting sides); postings carry the
+    # 8-byte hashed shingle key, never the string (_shingle_keys_df)
+    sh = _shingle_keys_df(docs, text_col, k)
     if materialize:
         sh = _truncate_lineage(sh, checkpoint_dir, eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    pa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingle"))
-    pb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingle"))
+    pa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh"))
+    pb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh"))
     inter = (
-        candidates.join(pa, "doc_id_a").join(pb, ["doc_id_b", "shingle"])
+        candidates.join(pa, "doc_id_a").join(pb, ["doc_id_b", "sh"])
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count("*").alias("inter"))
     )

@@ -77,6 +77,9 @@ def pagerank_hosts(
     n_iter: int = 3,
     damping_num: int = 17,
     damping_den: int = 20,
+    materialize: bool = True,
+    checkpoint_dir: str | None = None,
+    truncate_every: int = 8,
 ) -> DataFrame:
     """Deterministic integer PageRank over a (src_host, dst_host)
     edge list -> (host, rank) with rank in SCALE fixed-point units.
@@ -86,8 +89,22 @@ def pagerank_hosts(
       rank'(h)  = (SCALE * (den-num) DIV den) DIV N
                   + num * sum(contrib into h) DIV den
     All arithmetic is bigint — order-free, bit-stable.
+
+    materialize (default ON): the deduped edge list, host set and
+    out-degree table are lineage-truncated once ("build the graph
+    once") — without it every iteration arm re-derives all three from
+    the raw pages, so iteration k re-scans the corpus ~3k times and the
+    plan grows combinatorially. checkpoint_dir switches to a reliable
+    checkpoint (the dedup knob); ranks are additionally truncated every
+    ``truncate_every`` iterations so a long power iteration neither
+    replans from scratch nor overflows the optimizer — a pure plan
+    change: ranks are exact integers, bit-identical with or without it.
     """
+    from .dedup import _truncate_lineage
+
     edges = edges.select("src_host", "dst_host").distinct()
+    if materialize:
+        edges = _truncate_lineage(edges, checkpoint_dir, eager=False)
     hosts = (
         edges.select(F.col("src_host").alias("host"))
         .unionAll(edges.select(F.col("dst_host").alias("host")))
@@ -96,6 +113,9 @@ def pagerank_hosts(
     degrees = edges.groupBy("src_host").agg(
         F.count(F.lit(1)).alias("out_degree")
     )
+    if materialize:
+        hosts = _truncate_lineage(hosts, checkpoint_dir, eager=False)
+        degrees = _truncate_lineage(degrees, checkpoint_dir, eager=False)
     # N is one scalar (a count, not data) — the only driver action
     n_val = int(hosts.count())
     teleport = (SCALE * (damping_den - damping_num) // damping_den) // n_val
@@ -103,7 +123,9 @@ def pagerank_hosts(
     ranks = hosts.select(
         "host", F.lit(SCALE // n_val).cast("long").alias("rank")
     )
-    for _ in range(int(n_iter)):
+    for it in range(int(n_iter)):
+        if materialize and it > 0 and it % truncate_every == 0:
+            ranks = _truncate_lineage(ranks, checkpoint_dir, eager=False)
         contrib = (
             edges.join(
                 ranks.withColumnRenamed("host", "src_host"), "src_host"
@@ -136,6 +158,9 @@ def trustrank_hosts(
     damping_num: int = 17,
     damping_den: int = 20,
     reverse: bool = False,
+    materialize: bool = True,
+    checkpoint_dir: str | None = None,
+    truncate_every: int = 8,
 ) -> DataFrame:
     """Personalized PageRank with teleport restricted to a seed set —
     TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) when seeds
@@ -149,13 +174,20 @@ def trustrank_hosts(
     DIV/sum, exact 17/20 damping) — order-free, bit-stable, oracle-
     comparable.  Same 100-TB shape: one Exchange per iteration on the
     aggregation key; the seed table is a broadcast-sized dimension.
+    materialize/checkpoint_dir/truncate_every: the pagerank_hosts
+    graph-built-once + periodic rank truncation knobs (pure plan
+    change, bit-identical ranks).
     """
+    from .dedup import _truncate_lineage
+
     edges = edges.select("src_host", "dst_host").distinct()
     if reverse:
         edges = edges.select(
             F.col("dst_host").alias("src_host"),
             F.col("src_host").alias("dst_host"),
         )
+    if materialize:
+        edges = _truncate_lineage(edges, checkpoint_dir, eager=False)
     hosts = (
         edges.select(F.col("src_host").alias("host"))
         .unionAll(edges.select(F.col("dst_host").alias("host")))
@@ -170,6 +202,9 @@ def trustrank_hosts(
     hosts = hosts.join(seeds, "host", "left").select(
         "host", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
     )
+    if materialize:
+        hosts = _truncate_lineage(hosts, checkpoint_dir, eager=False)
+        degrees = _truncate_lineage(degrees, checkpoint_dir, eager=False)
     # n_seeds counts seeds PRESENT in the graph (a scalar, like N)
     n_seeds = int(hosts.where("is_seed").count())
     if n_seeds == 0:
@@ -184,7 +219,9 @@ def trustrank_hosts(
         .cast("long")
         .alias("rank"),
     )
-    for _ in range(int(n_iter)):
+    for it in range(int(n_iter)):
+        if materialize and it > 0 and it % truncate_every == 0:
+            ranks = _truncate_lineage(ranks, checkpoint_dir, eager=False)
         contrib = (
             edges.join(
                 ranks.select(

@@ -147,14 +147,45 @@ def doc_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     mapInPandas that adds the repetition signals. No join, no second
     scan, no shuffle — the whole operator is map-only lineage at any
     scale."""
+    # STAGED evaluation: text, word array and line array become named
+    # columns first, then every signal reads the names. Computing the
+    # four signals straight off the caller's text EXPRESSION inlined
+    # that expression (and the split/filter token work) once per
+    # reference — ~10 re-evaluations per row, measured 3.6 s vs 0.2 s
+    # for the symbol signal alone at sf0.1. Same arithmetic on the same
+    # values, so the signal doubles are bit-identical.
     t = F.col(text_col)
-    src = docs.select(
+    staged = docs.select("doc_id", t.alias("__text")).select(
         "doc_id",
-        t.alias("__text"),
-        symbol_word_ratio(t).alias("symbol_word_ratio"),
-        ellipsis_line_fraction(t).alias("ellipsis_line_fraction"),
-        bullet_line_fraction(t).alias("bullet_line_fraction"),
-        alpha_word_fraction(t).alias("alpha_word_fraction"),
+        "__text",
+        _words(F.col("__text")).alias("__w"),
+        _lines(F.col("__text")).alias("__l"),
+    )
+    tt, w, li = F.col("__text"), F.col("__w"), F.col("__l")
+    symbols = (
+        _count_literal(tt, "#")
+        + _count_literal(F.replace(tt, F.lit("…"), F.lit("...")), "...")
+    )
+    nw = F.size(w)
+    nl = F.size(li)
+    ends = F.filter(li, lambda x: x.endswith("...") | x.endswith("…"))
+    bullets = F.filter(
+        li,
+        lambda x: x.startswith("- ") | x.startswith("* ")
+        | x.startswith("•"),
+    )
+    alpha = F.filter(w, lambda x: x.rlike("[a-z]"))
+    src = staged.select(
+        "doc_id",
+        "__text",
+        F.when(nw == 0, 0.0).otherwise(_trunc6(symbols / nw))
+        .alias("symbol_word_ratio"),
+        F.when(nl == 0, 0.0).otherwise(_trunc6(F.size(ends) / nl))
+        .alias("ellipsis_line_fraction"),
+        F.when(nl == 0, 0.0).otherwise(_trunc6(F.size(bullets) / nl))
+        .alias("bullet_line_fraction"),
+        F.when(nw == 0, 0.0).otherwise(_trunc6(F.size(alpha) / nw))
+        .alias("alpha_word_fraction"),
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

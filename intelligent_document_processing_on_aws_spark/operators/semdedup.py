@@ -107,16 +107,23 @@ def semdedup(
         sizes = assign.groupBy("centroid").agg(F.count("*").alias("n"))
         keep = sizes.where(F.col("n") <= max_cluster).select("centroid")
         assign = assign.join(F.broadcast(keep), "centroid")
+    # each side stages its vector's norm ONCE before the pair join —
+    # cosine() inside the join re-derived both norms per candidate pair
+    # (3 interpreted aggregate passes per pair instead of 1); same
+    # expression on the same vector -> bit-identical score
+    # (similarity._cosine_pre)
+    from .similarity import _cosine_pre, _norm
+
     a = assign.select(
         F.col("centroid"),
         F.col("vec_id").alias("dup_of"),
         F.col("v").alias("v_a"),
-    )
+    ).withColumn("__na", _norm(F.col("v_a")))
     b = assign.select(
         F.col("centroid"),
         F.col("vec_id").alias("vec_id"),
         F.col("v").alias("v_b"),
-    )
+    ).withColumn("__nb", _norm(F.col("v_b")))
     pairs = (
         a.join(b, ["centroid"])
         .where(F.col("dup_of") < F.col("vec_id"))
@@ -124,7 +131,10 @@ def semdedup(
             "vec_id",
             "centroid",
             "dup_of",
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+            F.round(
+                _cosine_pre(F.col("v_a"), F.col("v_b"),
+                            F.col("__na"), F.col("__nb")), 6
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

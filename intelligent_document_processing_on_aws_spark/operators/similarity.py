@@ -40,6 +40,20 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine(a, b) with the norms PRE-STAGED as named columns.
+
+    ``cosine`` inside a pair join re-derives sqrt(dot(v, v)) for both
+    vectors on EVERY candidate row — a cluster member's norm gets
+    recomputed once per partner (3 interpreted aggregate passes per
+    pair instead of 1). Staging each side's norm before the join keeps
+    one aggregate per pair. na/nb must be _norm(a)/_norm(b) of the same
+    vectors: same expression on the same bytes -> the same double, and
+    the na * nb product keeps cosine's multiplication order, so scores
+    are bit-identical."""
+    return _dot(a, b) / (na * nb)
+
+
 def _query_df(
     embeddings: DataFrame,
     queries: DataFrame | None,
@@ -83,16 +97,20 @@ def brute_force_topk(
     qdf, auto_excl = _query_df(embeddings, queries, n_queries, id_col, vec_col)
     if exclude_self is None:
         exclude_self = auto_excl
+    qdf = qdf.withColumn("__qn", _norm(F.col("q_vec")))
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ).withColumn("__cn", _norm(F.col("c_vec")))
     scored = corpus.join(F.broadcast(qdf))
     if exclude_self:
         scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        F.round(
+            _cosine_pre(F.col("q_vec"), F.col("c_vec"),
+                        F.col("__qn"), F.col("__cn")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -114,13 +132,18 @@ def cosine_pairs(
     df = embeddings
     if max_id is not None:
         df = df.where(F.col(id_col) < max_id)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")) \
+        .withColumn("__na", _norm(F.col("v_a")))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")) \
+        .withColumn("__nb", _norm(F.col("v_b")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+            F.round(
+                _cosine_pre(F.col("v_a"), F.col("v_b"),
+                            F.col("__na"), F.col("__nb")), 6
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -149,13 +172,18 @@ def lsh_cosine_pairs(
             .select("id_a", "id_b")
         cand = pairs if cand is None else cand.unionAll(pairs)
     cand = cand.distinct()
-    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")) \
+        .withColumn("__na", _norm(F.col("v_a")))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")) \
+        .withColumn("__nb", _norm(F.col("v_b")))
     return (
         cand.join(va, "id_a").join(vb, "id_b")
         .select(
             "id_a", "id_b",
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+            F.round(
+                _cosine_pre(F.col("v_a"), F.col("v_b"),
+                            F.col("__na"), F.col("__nb")), 6
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -305,14 +333,17 @@ def ivf_topk(
         embeddings[id_col].alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         "centroid",
-    )
-    probes = ivf_probes(qdf, C, n_probe)
+    ).withColumn("__cn", _norm(F.col("c_vec")))
+    probes = ivf_probes(qdf, C, n_probe).withColumn("__qn", _norm(F.col("q_vec")))
     cond = corpus["centroid"] == probes["centroid"]
     if exclude_self:
         cond = cond & (F.col("neighbor_id") != F.col("query_id"))
     scored = corpus.join(F.broadcast(probes), cond).select(
         "query_id", "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        F.round(
+            _cosine_pre(F.col("q_vec"), F.col("c_vec"),
+                        F.col("__qn"), F.col("__cn")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -445,14 +476,18 @@ def lsh_topk(
     c = embeddings.join(buckets, embeddings[id_col] == buckets["vec_id"]).select(
         embeddings[id_col].alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"), "bucket",
-    )
-    q = lsh_query_probes(qdf, dim, n_bits, n_probes, seed)
+    ).withColumn("__cn", _norm(F.col("c_vec")))
+    q = lsh_query_probes(qdf, dim, n_bits, n_probes, seed) \
+        .withColumn("__qn", _norm(F.col("q_vec")))
     cond = F.col("bucket") == F.col("q_bucket")
     if exclude_self:
         cond = cond & (F.col("neighbor_id") != F.col("query_id"))
     scored = c.join(F.broadcast(q), cond).select(
         "query_id", "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        F.round(
+            _cosine_pre(F.col("q_vec"), F.col("c_vec"),
+                        F.col("__qn"), F.col("__cn")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
