@@ -44,7 +44,9 @@ def test_extraction_plan_vectorized(spark, fixtures_dir):
     pages = spark.read.parquet(os.path.join(fixtures_dir, "t1_pages.parquet"))
     df = extract_pages(pages, salt_partitions=4)
     plan = _plan(df)
-    assert "MapInPandas" in plan
+    # r6: the stage is Arrow-native (MapInArrow) — spans are built as
+    # Arrow arrays directly instead of through the pandas bridge
+    assert "MapInArrow" in plan
     assert "BatchEvalPython" not in plan
     # column pruning: the unused `text` column must not be read
     formatted = _formatted(df)
