@@ -29,7 +29,9 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 def _hits(col: Column, words: tuple[str, ...]) -> Column:
     toks = F.split(F.lower(F.trim(col)), r"\s+")
-    arr = F.array(*[F.lit(w) for w in words])
+    # one array Literal: CreateArray(lit, ...) would be rebuilt per
+    # lambda element evaluation (the ft_classifier lesson)
+    arr = F.lit(list(words))
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 

@@ -113,7 +113,7 @@ def with_tier(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 F.filter(
                     F.transform(tokens(c), F.lower),
                     lambda t: F.array_contains(
-                        F.array(*[F.lit(w) for w in STOPWORDS]), t),
+                        F.lit(list(STOPWORDS)), t),
                 )
             ).cast("bigint"),
         )
@@ -134,7 +134,7 @@ def with_tier(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("tier", tier_of(F.col("score_ppm")))
         .withColumn(
             "tier_label",
-            F.element_at(F.array(*[F.lit(lb) for lb in TIER_LABELS]),
+            F.element_at(F.lit(list(TIER_LABELS)),
                          F.col("tier") + 1),
         )
         .drop("__nc", "__np", "__sh")

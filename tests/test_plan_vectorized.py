@@ -336,11 +336,12 @@ def test_warc_ingestion_plan_map_only(spark):
     assert plan.count("MapInPandas") == 1
 
 
-def test_round5_lang_classifier_plan_pure_catalyst(spark):
-    """fastText-style lang-ID inference is ZERO-Python: hashing, the
-    array-accumulator dot product and the argmax are all Catalyst
-    expressions — no MapInPandas, no Exchange; inference scales exactly
-    like the scan."""
+def test_round5_lang_classifier_plan_single_arrow_pass(spark):
+    """fastText-style lang-ID inference is ONE Arrow batch pass over the
+    scan (r6: the interpreted Catalyst lambda chain moved to exact-
+    integer numpy inside mapInArrow — the lm_perplexity audit shape):
+    a single MapInArrow, zero Exchange, no row-at-a-time Python —
+    inference still scales exactly like the scan."""
     from intelligent_document_processing_on_aws_spark.operators.ft_classifier import (
         classify_lang,
     )
@@ -352,7 +353,7 @@ def test_round5_lang_classifier_plan_pure_catalyst(spark):
                        ["en", "de"], n_buckets=64)
     plan = _plan(df)
     assert "BatchEvalPython" not in plan
-    assert "MapInPandas" not in plan
+    assert plan.count("MapInArrow") == 1
     assert "Exchange" not in plan
 
 
