@@ -694,12 +694,20 @@ def substring_span_dedup(
     # one row per window position: (doc_id, pos, wkey), pos 0-based
     nwin = F.greatest(F.lit(0), F.size("__toks") - F.lit(k - 1))
     wstr = lambda i: F.array_join(F.slice("__toks", i, k), " ")  # noqa: E731
+    # hashed path feeds the k token columns to xxhash64 directly — no
+    # window string is built (the _shingle_keys_df discipline); token
+    # k-tuple identity == joined-string identity since tokens contain
+    # no whitespace, so the dedup decisions are unchanged absent the
+    # already-documented 2^-64 collision boundary
+    whash = lambda i: F.xxhash64(  # noqa: E731
+        *[F.element_at("__toks", i + off) for off in range(k)]
+    )
     wins = base.where(F.size("__toks") >= k).select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), nwin),
-                (lambda i: F.xxhash64(wstr(i))) if hash_windows else wstr,
+                whash if hash_windows else wstr,
             )
         ).alias("pos", "wkey"),
     )

@@ -96,18 +96,37 @@ def _tokens_col(text_col: str):
     )
 
 
-def train_bigram_lm(train_docs: DataFrame, text_col: str = "text") -> BigramLM:
+def train_bigram_lm(
+    train_docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_vocab: int | None = None,
+) -> BigramLM:
     """Count tables via native explode + hash aggregation (partial
     map-side combine), collected to the driver at VOCABULARY scale —
     bounded like the IVF centroid sample (operators/similarity.py), not
-    corpus scale; the reference slice is the small, trusted corpus."""
+    corpus scale; the reference slice is the small, trusted corpus.
+
+    Driver-memory guard rails (both default to no-ops so the committed
+    oracles are unchanged): ``min_count`` drops unigram/bigram entries
+    below the threshold INSIDE the aggregation, before anything is
+    collected; ``max_vocab`` keeps only the top-``max_vocab`` unigrams
+    by (count DESC, word ASC) — a distributed TakeOrdered, never a full
+    sort — so a careless caller pointing this at a raw web corpus
+    collects a bounded table instead of OOMing the driver (the
+    bpe_train ``max_words`` discipline). V counts the kept vocabulary.
+    Both count tables come back in ONE Spark job (a union of the two
+    aggregations) instead of two sequential collects."""
     toks = train_docs.select(_tokens_col(text_col).alias("toks"))
     uni = (
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
-        .collect()
     )
+    if min_count > 1:
+        uni = uni.where(F.col("c") >= min_count)
+    if max_vocab is not None:
+        uni = uni.orderBy(F.desc("c"), F.asc("w")).limit(int(max_vocab))
     n = F.greatest(F.size(F.col("toks")) - 1, F.lit(0))  # 0 for <2 tokens
     pairs = toks.select(
         F.explode(
@@ -117,11 +136,17 @@ def train_bigram_lm(train_docs: DataFrame, text_col: str = "text") -> BigramLM:
             )
         ).alias("p")
     ).where(F.col("p.w1").isNotNull() & F.col("p.w2").isNotNull())
-    big = (
-        pairs.groupBy("p.w1", "p.w2").agg(F.count("*").alias("c")).collect()
+    big = pairs.groupBy("p.w1", "p.w2").agg(F.count("*").alias("c"))
+    if min_count > 1:
+        big = big.where(F.col("c") >= min_count)
+    rows = (
+        uni.select(F.lit(0).alias("kind"), F.col("w").alias("w1"),
+                   F.lit(None).cast("string").alias("w2"), "c")
+        .unionAll(big.select(F.lit(1).alias("kind"), "w1", "w2", "c"))
+        .collect()
     )
-    unigram = {r["w"]: r["c"] for r in uni}
-    bigram = {(r["w1"], r["w2"]): r["c"] for r in big}
+    unigram = {r["w1"]: r["c"] for r in rows if r["kind"] == 0}
+    bigram = {(r["w1"], r["w2"]): r["c"] for r in rows if r["kind"] == 1}
     return BigramLM(unigram=unigram, bigram=bigram, v=len(unigram) + 1)
 
 

@@ -237,3 +237,25 @@ def test_curate_job_ppl_keep_flag(tmp_path):
     # two of three terciles, +/- boundary ties and untiered/empty rows
     assert 0.55 * n_in <= n_ppl <= 0.78 * n_in
     assert stats["kept"] <= n_ppl
+
+
+def test_train_caps_bound_the_collected_tables(spark):
+    """min_count/max_vocab are applied INSIDE the aggregation, before
+    the driver collect (the bpe_train max_words discipline), and their
+    defaults are no-ops so the committed oracles are unchanged."""
+    docs = spark.createDataFrame(
+        [(0, "a b a b a"), (10, "a c b a")], ["doc_id", "text"]
+    )
+    full = train_bigram_lm(docs)
+    # defaults == explicit no-op caps: identical model
+    assert train_bigram_lm(docs, min_count=1, max_vocab=None) == full
+
+    capped = train_bigram_lm(docs, min_count=2)
+    assert capped.unigram == {w: c for w, c in full.unigram.items() if c >= 2}
+    assert capped.bigram == {p: c for p, c in full.bigram.items() if c >= 2}
+    assert capped.v == len(capped.unigram) + 1
+
+    top2 = train_bigram_lm(docs, max_vocab=2)
+    # top-2 by (count DESC, word ASC): a(5), b(3)
+    assert set(top2.unigram) == {"a", "b"}
+    assert top2.v == 3
