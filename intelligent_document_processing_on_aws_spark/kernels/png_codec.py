@@ -120,17 +120,41 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int,
                     + np.frombuffer(bytes(up), np.uint8)
                 ).astype(np.uint8).tobytes()
         elif f == 3:                                 # Average
+            # tight-loop spelling: the previous row is snapshotted once
+            # and the current row built in a local bytearray — indexing
+            # locals instead of the big `out` buffer per byte is ~2x in
+            # CPython (same arithmetic, same bytes)
+            up_row = (bytes(out[prev_start:prev_start + row_bytes])
+                      if prev_start >= 0 else b"\x00" * row_bytes)
+            cur = bytearray(row_bytes)
             for x in range(row_bytes):
-                left = out[o + x - bpp] if x >= bpp else 0
-                up = out[prev_start + x] if prev_start >= 0 else 0
-                out[o + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + ((left + up_row[x]) >> 1)) & 0xFF
+            out[o:o + row_bytes] = cur
         elif f == 4:                                 # Paeth
+            # same tight-loop spelling, with the predictor inlined —
+            # the per-byte _paeth call + abs() chain dominated decode
+            # profiles (620k calls / 22 images); branch arithmetic below
+            # is the identical predictor
+            up_row = (bytes(out[prev_start:prev_start + row_bytes])
+                      if prev_start >= 0 else b"\x00" * row_bytes)
+            cur = bytearray(row_bytes)
             for x in range(row_bytes):
-                left = out[o + x - bpp] if x >= bpp else 0
-                up = out[prev_start + x] if prev_start >= 0 else 0
-                ul = out[prev_start + x - bpp] \
-                    if (prev_start >= 0 and x >= bpp) else 0
-                out[o + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+                a = cur[x - bpp] if x >= bpp else 0
+                b = up_row[x]
+                c = up_row[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur[x] = (line[x] + pred) & 0xFF
+            out[o:o + row_bytes] = cur
         else:
             raise PngError(f"unknown filter type {f} on row {y}")
         prev_start = o
