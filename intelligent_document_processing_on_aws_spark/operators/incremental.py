@@ -106,47 +106,157 @@ def build_text_bloom(
     return bitmap, m, k
 
 
+# shard-assignment seed (independent of both double-hashing columns)
+_SHARD_SEED = 0x51A2D
+
+
+def _sharded_bloom_candidates(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    m: int,
+    k: int,
+    shard_bits: int,
+) -> DataFrame:
+    """Bloom pre-filter candidates via hash-range bitmap SHARDS — the
+    at-scale alternative to one driver-held bitmap (see
+    incremental_exact_dedup). The corpus's bit space is split into
+    ceil(m / shard_bits) shards keyed by an independent xxhash64 of the
+    text; each shard's bitmap is built executor-side in a groupBy
+    (never on the driver, never broadcast), and the new batch probes it
+    through a cogrouped Arrow pass — each task sees ONE shard's batch
+    rows plus that shard's single bitmap row. Trade vs the broadcast
+    path (documented crossover): the corpus's 16-byte hash pairs are
+    shuffled once by shard key (the payload never moves), in exchange
+    for O(m / n_shards) peak memory anywhere."""
+    n_shards = max(1, -(-m // shard_bits))
+    m_s = ((min(shard_bits, m) + 63) // 64) * 64
+    words = m_s // 64
+    shard = F.pmod(
+        F.xxhash64(F.lit(_SHARD_SEED), F.col(text_col)), F.lit(n_shards)
+    ).alias("__shard")
+
+    corpus_h = _with_hashes(
+        corpus.select(text_col).where(F.col(text_col).isNotNull()),
+        text_col,
+    ).select(shard, "__h1", "__h2")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(words, dtype=np.uint64)
+        a = pdf["__h1"].to_numpy(dtype=np.int64)
+        b = pdf["__h2"].to_numpy(dtype=np.int64)
+        for idx in _bit_positions(a, b, m_s, k):
+            np.bitwise_or.at(
+                bm, (idx // np.uint64(64)).astype(np.int64),
+                np.uint64(1) << (idx % np.uint64(64)),
+            )
+        return pd.DataFrame(
+            {"__shard": [int(pdf["__shard"].iloc[0])],
+             "bm": [bm.tobytes()]}
+        )
+
+    bm_df = corpus_h.groupBy("__shard").applyInPandas(
+        build, "__shard bigint, bm binary"
+    )
+
+    batch_h = _with_hashes(
+        new_docs.select(text_col).where(F.col(text_col).isNotNull()),
+        text_col,
+    ).select(shard, text_col, "__h1", "__h2")
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame({text_col: []}).astype({text_col: object})
+        if len(right) == 0:
+            # no corpus rows in this shard -> nothing can match
+            return pd.DataFrame({text_col: []}).astype({text_col: object})
+        bm = np.frombuffer(right["bm"].iloc[0], dtype=np.uint64)
+        a = left["__h1"].to_numpy(dtype=np.int64)
+        b = left["__h2"].to_numpy(dtype=np.int64)
+        hit = np.ones(len(left), dtype=bool)
+        for idx in _bit_positions(a, b, m_s, k):
+            word = bm[(idx // np.uint64(64)).astype(np.int64)]
+            hit &= (word >> (idx % np.uint64(64))) & np.uint64(1) != 0
+        return pd.DataFrame({text_col: left[text_col][hit]})
+
+    return (
+        batch_h.groupBy("__shard")
+        .cogroup(bm_df.groupBy("__shard"))
+        .applyInPandas(probe, f"{text_col} string")
+        .distinct()
+    )
+
+
 def incremental_exact_dedup(
     new_docs: DataFrame,
     corpus: DataFrame,
     text_col: str = "text",
     expected_items: int | None = None,
     fpp: float = 0.01,
+    max_broadcast_bits: int = 1 << 33,
+    shard_bits: int = 1 << 30,
 ) -> DataFrame:
     """new_docs minus rows whose `text_col` already exists in `corpus`
     (NULL text never matches, per SQL join semantics). Exact result;
-    Bloom-pruned so neither input is ever shuffled or re-scanned."""
+    Bloom-pruned so the corpus payload is never shuffled.
+
+    Two Bloom paths, chosen by the computed bitmap size m (the result
+    is IDENTICAL either way — the Bloom is only a pre-filter and the
+    joins are exact, so false positives never leak and the paths can't
+    diverge):
+
+    * m <= ``max_broadcast_bits`` (default 2^33 bits = 1 GiB, ~7e8
+      corpus docs at fpp=0.01): single driver-held bitmap, log-depth
+      treeReduce build, broadcast probe — zero shuffles anywhere.
+    * larger: hash-range bitmap shards of ``shard_bits`` bits each,
+      built executor-side in a groupBy and probed via a cogrouped
+      Arrow pass — no driver bitmap, no broadcast; the corpus's
+      16-byte hash pairs shuffle once by shard key (the r5 verdict's
+      documented crossover for 10^10-doc corpora, where one bitmap
+      would be ~12 GiB on the driver and every executor)."""
     spark = new_docs.sparkSession
-    bitmap, m, k = build_text_bloom(corpus, text_col, expected_items, fpp)
-    bc = spark.sparkContext.broadcast(bitmap)
+    if expected_items is None:
+        expected_items = corpus.count()
+    m, k = _bloom_params(expected_items, fpp)
 
-    hashed = _with_hashes(new_docs, text_col)
-    schema = T.StructType(
-        [hashed.schema[text_col], T.StructField("__hit", T.BooleanType())]
-    )
+    if m > max_broadcast_bits:
+        candidates = _sharded_bloom_candidates(
+            new_docs, corpus, text_col, m, k, shard_bits
+        )
+    else:
+        bitmap, m, k = build_text_bloom(
+            corpus, text_col, expected_items, fpp
+        )
+        bc = spark.sparkContext.broadcast(bitmap)
 
-    def probe(batches):
-        bm = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a = pdf["__h1"].to_numpy(dtype=np.int64)
-            b = pdf["__h2"].to_numpy(dtype=np.int64)
-            hit = np.ones(len(pdf), dtype=bool)
-            for idx in _bit_positions(a, b, m, k):
-                word = bm[(idx // np.uint64(64)).astype(np.int64)]
-                hit &= (word >> (idx % np.uint64(64))) & np.uint64(1) != 0
-            yield pd.DataFrame(
-                {text_col: pdf[text_col], "__hit": hit}
-            )
+        hashed = _with_hashes(new_docs, text_col)
+        schema = T.StructType(
+            [hashed.schema[text_col],
+             T.StructField("__hit", T.BooleanType())]
+        )
 
-    candidates = (
-        hashed.select(text_col, "__h1", "__h2")
-        .mapInPandas(probe, schema)
-        .where(F.col("__hit"))
-        .select(text_col)
-        .distinct()
-    )
+        def probe(batches):
+            bm = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                a = pdf["__h1"].to_numpy(dtype=np.int64)
+                b = pdf["__h2"].to_numpy(dtype=np.int64)
+                hit = np.ones(len(pdf), dtype=bool)
+                for idx in _bit_positions(a, b, m, k):
+                    word = bm[(idx // np.uint64(64)).astype(np.int64)]
+                    hit &= (word >> (idx % np.uint64(64))) & np.uint64(1) != 0
+                yield pd.DataFrame(
+                    {text_col: pdf[text_col], "__hit": hit}
+                )
+
+        candidates = (
+            hashed.select(text_col, "__h1", "__h2")
+            .mapInPandas(probe, schema)
+            .where(F.col("__hit"))
+            .select(text_col)
+            .distinct()
+        )
     # corpus scanned ONCE, map-side semi-join against the broadcast
     # candidate set; matched texts are at most |candidates| rows
     matched = (

@@ -79,3 +79,27 @@ def test_plan_big_sides_never_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_sharded_bloom_path_identical_result(spark):
+    """Forcing the hash-range-shard path (max_broadcast_bits tiny) must
+    produce EXACTLY the broadcast path's result — the Bloom is only a
+    pre-filter and the joins are exact, so the paths cannot diverge —
+    and its plan must contain the cogrouped Arrow probe instead of a
+    driver bitmap broadcast."""
+    new, corpus = _new_batch(spark), _corpus(spark)
+    expected = sorted(
+        r["text"] for r in
+        incremental_exact_dedup(new, corpus).select("text").collect()
+        if r["text"] is not None
+    )
+    sharded = incremental_exact_dedup(
+        new, corpus, max_broadcast_bits=64, shard_bits=256
+    )
+    got = sorted(
+        r["text"] for r in sharded.select("text").collect()
+        if r["text"] is not None
+    )
+    assert got == expected
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
