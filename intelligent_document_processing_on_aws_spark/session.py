@@ -24,6 +24,14 @@ DEFAULT_CONFS = {
     "spark.ui.enabled": "false",
     # single-JVM local mode: all "executors" share the driver heap
     "spark.driver.memory": "24g",
+    # the ContextCleaner only drops unreferenced checkpoint/shuffle/
+    # broadcast blocks after a JVM GC notices the references are gone;
+    # with a 24g heap organic GCs are rare and the default periodic GC
+    # is 30min, so a long multi-query session accumulates every
+    # localCheckpoint RDD it ever made. One System.gc() a minute keeps
+    # block-manager storage bounded at negligible cost (applies to any
+    # long-lived driver, not a local[32] tune).
+    "spark.cleaner.periodicGC.interval": "60s",
 }
 
 
