@@ -70,8 +70,12 @@ _ALIASES = {
     "iso-8859-15": "iso-8859-15", "latin9": "iso-8859-15",
     "windows-1251": "windows-1251", "cp1251": "windows-1251",
     "koi8-r": "koi8-r", "koi8": "koi8-r", "koi8_r": "koi8-r",
-    "utf-16": "utf-16-le", "utf16": "utf-16-le",
-    "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+    # utf-16 labels intentionally ABSENT: per WHATWG, a DECLARED
+    # utf-16/utf-16le/utf-16be label must not trigger a UTF-16 decode
+    # (the prescan maps those labels to UTF-8) — UTF-16-LE decode of an
+    # 8-bit page almost never fails, so honoring the label turned any
+    # page lying `<meta charset=utf-16>` into silent CJK mojibake.
+    # Real UTF-16 is caught by the BOM and NUL-parity steps.
     "shift_jis": "shift_jis", "shift-jis": "shift_jis",
     "sjis": "shift_jis", "x-sjis": "shift_jis",
     "euc-jp": "euc-jp", "euc_jp": "euc-jp",

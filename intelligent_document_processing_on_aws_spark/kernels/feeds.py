@@ -41,7 +41,10 @@ from .sitemap import _decode, parse_lastmod
 
 _ROOT_RE = re.compile(r"<\s*(?:[A-Za-z0-9._-]+:)?(rss|feed)[\s>]")
 _ITEM_RE = re.compile(
-    r"<\s*(?:[A-Za-z0-9._-]+:)?(item|entry)\s*>(.*?)"
+    # open tag may carry attributes (Atom xml:lang, gd:etag, RDF
+    # rdf:about ...) — the bare-tag-only spelling silently dropped such
+    # entries without counting them in n_skipped
+    r"<\s*(?:[A-Za-z0-9._-]+:)?(item|entry)(?:\s[^>]*)?>(.*?)"
     r"<\s*/\s*(?:[A-Za-z0-9._-]+:)?\1\s*>",
     re.S | re.I,
 )

@@ -32,8 +32,13 @@ from dataclasses import dataclass
 from .sitemap import parse_lastmod
 
 _META_RE = re.compile(
+    # the keyword must END the attribute value (lookahead for quote,
+    # whitespace or tag close): with the closing quote optional, any
+    # name merely STARTING with 'date' (e.g. name="dateline") matched
+    # and produced a false published-date
     r"""<meta\s[^>]*?(?:property|name)\s*=\s*["']?"""
-    r"""(article:published_time|article:modified_time|date)["']?[^>]*>""",
+    r"""(article:published_time|article:modified_time|date)"""
+    r"""(?=["'\s>])[^>]*>""",
     re.I | re.S,
 )
 _CONTENT_RE = re.compile(r"""content\s*=\s*["']([^"']+)["']""", re.I)

@@ -252,6 +252,13 @@ def politeness_schedule(
     choice; skew is bounded by max_per_host."""
     host = F.regexp_extract(F.col(loc_col), r"^https?://([^/]+)", 1)
     df = fetchlist.select(F.col(loc_col).alias("loc"), host.alias("host"))
+    # non-http(s)/malformed locs extract host='' — scheduling them
+    # would merge every such URL into one shared phantom-host queue
+    # whose eta ladder throttles them against each other (and gives
+    # them default_delay semantics indistinguishable from a real
+    # host). They are excluded here; callers that want them route the
+    # complement (host = '') to a quarantine output instead.
+    df = df.where(F.col("host") != "")
     w = Window.partitionBy("host").orderBy(F.col("loc").asc())
     df = df.withColumn("fetch_seq", F.row_number().over(w))
     if max_per_host is not None:

@@ -132,3 +132,20 @@ def test_capture_policies_latest_and_canonical(spark):
         plan = op(caps)._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan, op.__name__
         assert "BatchEvalPython" not in plan
+
+
+def test_politeness_schedule_quarantines_empty_host(spark):
+    """Non-http(s)/malformed locs (host extracts to '') are excluded
+    from the schedule instead of sharing one phantom-host eta ladder."""
+    from intelligent_document_processing_on_aws_spark.operators.cdx import (
+        politeness_schedule,
+    )
+
+    locs = spark.createDataFrame(
+        [("http://a/1",), ("http://a/2",), ("ftp://weird/3",),
+         ("not-a-url",)], "loc string")
+    out = politeness_schedule(locs, start_epoch=100, default_delay=2)
+    rows = {r["loc"]: r for r in out.collect()}
+    assert set(rows) == {"http://a/1", "http://a/2"}
+    assert rows["http://a/1"]["fetch_seq"] == 1
+    assert rows["http://a/2"]["eta_epoch"] == 102

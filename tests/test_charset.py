@@ -143,3 +143,17 @@ def test_extract_page_legacy_encoded_end_to_end():
     ctype, res, err = extract_page_safe(html.encode("cp1252"))
     assert err is None and ctype == "html"
     assert body in res.extracted_text
+
+
+def test_declared_utf16_label_not_honored():
+    """WHATWG: a DECLARED utf-16 label maps to UTF-8 in the prescan —
+    honoring it turned any 8-bit page lying <meta charset=utf-16> into
+    silent CJK mojibake (UTF-16-LE decode almost never fails). Real
+    UTF-16 still arrives via the BOM and NUL-parity steps."""
+    page = b'<html><meta charset="utf-16"><body>plain ascii</body></html>'
+    r = sniff_decode(page)
+    assert r.encoding == "utf-8" and "plain ascii" in r.text
+    # BOM and parity detection are unaffected
+    html = "<html>hello utf sixteen page body text</html>"
+    bom = sniff_decode(b"\xff\xfe" + html.encode("utf-16-le"))
+    assert (bom.encoding, bom.source) == ("utf-16-le", "bom")

@@ -123,3 +123,21 @@ def test_fuzz_totality_random_bytes():
         raw = "".join(rng.choice(frags)
                       for _ in range(rng.randrange(1, 30))).encode()
         parse_feed(raw)
+
+
+def test_attribute_carrying_entries_are_parsed():
+    """Open tags with attributes (Atom xml:lang, RDF rdf:about, gd:etag)
+    must parse like bare tags — previously they were silently dropped
+    without even counting in n_skipped."""
+    xml = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        "<title>t</title>"
+        '<entry xml:lang="en"><id>e1</id><updated>2020-01-02T00:00:00Z'
+        '</updated><link rel="alternate" href="http://x/1"/></entry>'
+        "<entry><id>e2</id><updated>2020-01-03T00:00:00Z</updated>"
+        '<link href="http://x/2"/></entry>'
+        "</feed>"
+    ).encode()
+    r = parse_feed(xml)
+    assert [e.link for e in r.entries] == ["http://x/1", "http://x/2"]
+    assert r.n_skipped == 0

@@ -76,3 +76,17 @@ def test_differential_against_generator_facts():
     for d in gen_pagedate_docs(320):
         r = extract_page_date(d["url"], d["html"])
         assert (r.epoch, r.source) == (d["epoch"], d["source"]), d["doc_id"]
+
+
+def test_meta_name_prefix_does_not_match():
+    """name="dateline" must not produce a published date — the keyword
+    has to END the attribute value (the old optional-closing-quote
+    spelling matched any name merely starting with 'date')."""
+    none = extract_page_date(
+        "http://h/x", '<html><head><meta name="dateline" '
+        'content="2020-01-01"></head></html>')
+    assert none.source != "meta"
+    real = extract_page_date(
+        "http://h/x", '<html><head><meta name="date" '
+        'content="2020-01-01"></head></html>')
+    assert real.source == "meta" and real.epoch is not None
