@@ -59,6 +59,7 @@ _EI_RE = re.compile(rb"\sEI(?=\s|$)")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _NAME_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+_SLASH_NAME_RE = re.compile(rb"/[^\s/\[\]()<>{}%]*")
 
 
 class UnsupportedFont(ValueError):
@@ -728,9 +729,12 @@ def text_spans(
             stack.append(arr)
             i += 1
         elif c == 0x2F:  # /Name
-            m = re.match(rb"/[^\s/\[\]()<>{}%]*", content[i:])
+            # pos-based match on the original buffer: the content[i:]
+            # slice copied the whole remaining stream per name token —
+            # O(n^2) on name-dense object streams
+            m = _SLASH_NAME_RE.match(content, i)
             stack.append(_Name(m.group(0).decode("latin-1")))
-            i += m.end()
+            i = m.end()
         else:
             m = _NUM_RE.match(content, i)
             if m:
