@@ -33,9 +33,18 @@ _DONE = False
 
 
 def limit_blas_threads(n: int = 1) -> None:
-    """Idempotent: env var for future loads + ctypes for the current one."""
+    """Idempotent: env var for future loads + ctypes for the current one.
+
+    An EXPLICIT user OPENBLAS_NUM_THREADS is respected everywhere: in
+    that case neither the env var nor the loaded library is touched, so
+    driver and forked workers stay consistent with the user's choice
+    (pinning only the driver while workers kept the user's count would
+    reproduce the contention this module exists to prevent)."""
     global _DONE
-    os.environ.setdefault("OPENBLAS_NUM_THREADS", str(n))
+    if "OPENBLAS_NUM_THREADS" in os.environ:
+        _DONE = True
+        return
+    os.environ["OPENBLAS_NUM_THREADS"] = str(n)
     os.environ.setdefault("OMP_NUM_THREADS", str(n))
     if _DONE:
         return

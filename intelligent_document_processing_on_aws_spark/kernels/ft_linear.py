@@ -77,8 +77,11 @@ def count_features(texts: list[str], n_buckets: int = DEFAULT_BUCKETS,
         t = (text or "")[:max_chars]
         if len(t) < 3:
             continue
-        codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32
-                              ).astype(np.int64)
+        # surrogatepass: UTF-32 code units == ord() per char even for
+        # lone surrogates (strict encode would raise where the replaced
+        # per-char ord() loop did not)
+        codes = np.frombuffer(t.encode("utf-32-le", "surrogatepass"),
+                              dtype=np.uint32).astype(np.int64)
         buckets = ((codes[:-2] * 31 + codes[1:-1]) * 31
                    + codes[2:]) % n_buckets
         X[r] = np.bincount(buckets, minlength=n_buckets)

@@ -221,15 +221,17 @@ def decontaminate_stream(
     )
     if not keys:
         return corpus
-    # stage the token array (see _gram_windows), hash windows, compare —
-    # all inside one filter over the scan; the helper column is dropped
-    staged = corpus.withColumn("__toks", _token_array(F.col(text_col)))
+    # NOTE on staging: the dsir/_gram_windows staging discipline does
+    # NOT apply here — PushDownPredicates substitutes a deterministic
+    # projected alias back into a filter predicate, so a staged token
+    # column would be re-inlined into the lambda anyway (verified on
+    # the optimized plan). The tokenizer therefore closes over the raw
+    # expression; acceptable because this filter is the stream path's
+    # one pass and its cost profile is unchanged from round 5.
+    toks = _token_array(F.col(text_col))
     gram_keys = F.transform(
-        _gram_windows(F.col("__toks"), n), lambda g: F.xxhash64(g)
+        _gram_windows(toks, n), lambda g: F.xxhash64(g)
     )
-    return (
-        staged.where(
-            ~F.arrays_overlap(gram_keys, F.lit(keys).cast("array<bigint>"))
-        )
-        .drop("__toks")
+    return corpus.where(
+        ~F.arrays_overlap(gram_keys, F.lit(keys).cast("array<bigint>"))
     )

@@ -9,11 +9,11 @@ Shape for 100 TB:
   and fits the softmax weights with the pure numpy kernel. Same
   bounded-collect pattern as the IVF centroid build
   (operators/similarity.py) and the CCNet LM (operators/lm_filter.py).
-* **Inference** is a single map-only projection of pure Catalyst
-  higher-order-function expressions — `transform`/`aggregate` over the
-  codepoint array with the quantized weights embedded as a folded
-  array literal. Zero Python per row, zero shuffles, zero joins: the
-  scoring pass scales exactly like the scan. (The reference repo
+* **Inference** is ONE Arrow batch pass (`mapInArrow`) over the scan:
+  bucket polynomial / histogram / per-class sums in exact int64 numpy,
+  zero shuffles, zero joins — the scoring pass scales exactly like the
+  scan (the lm_filter single-Arrow-pass shape; r6 moved it here from a
+  chain of interpreted Catalyst lambdas, ~4x). (The reference repo
   classifies documents by calling Bedrock per document —
   classification/service.py — which is out of scope per the north
   star; this is the standard public-pipeline replacement.)
@@ -66,16 +66,6 @@ def train_lang_classifier(
                          n_iters, lr, max_chars)
     w_micro, b_micro = quantize_micro(W, b)
     return w_micro, b_micro, classes
-
-
-def _int_array(vals: list[int]) -> Column:
-    # ONE array Literal, not CreateArray(lit, lit, ...): CreateArray is
-    # re-evaluated on every reference, and inside the scoring lambda the
-    # weight table is referenced once per (trigram, class) — with
-    # n_buckets * n_classes literals that rebuilt a 2560-element array
-    # per lookup (measured 3.6 s -> 0.9 s on the 1200-doc langid score
-    # pass). A Literal returns the same ArrayData object every time.
-    return F.lit([int(v) for v in vals]).cast("array<bigint>")
 
 
 def classify_lang(
@@ -135,7 +125,8 @@ def classify_lang(
                 ng = max(len(t) - 2, 0)
                 if ng > 0:
                     codes = np.frombuffer(
-                        t.encode("utf-32-le"), dtype=np.uint32
+                        t.encode("utf-32-le", "surrogatepass"),
+                        dtype=np.uint32,
                     ).astype(np.int64)
                     bkt = ((codes[:-2] * 31 + codes[1:-1]) * 31
                            + codes[2:]) % B
@@ -172,8 +163,18 @@ def classify_lang(
     src = docs.select(
         "doc_id", "lang", F.col(text_col).alias("__t")
     )
-    schema = ("doc_id long, lang string, n_grams long, score_micro long, "
-              "pred_lang string, prob double, correct boolean")
+    # doc_id/lang pass through as the INPUT Arrow buffers, so their
+    # declared types must be the input's, not hard-coded
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [src.schema[0], src.schema[1]]
+        + [T.StructField("n_grams", T.LongType()),
+           T.StructField("score_micro", T.LongType()),
+           T.StructField("pred_lang", T.StringType()),
+           T.StructField("prob", T.DoubleType()),
+           T.StructField("correct", T.BooleanType())]
+    )
     return src.mapInArrow(run, schema)
 
 

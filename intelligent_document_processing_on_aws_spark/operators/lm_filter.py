@@ -112,9 +112,14 @@ def train_bigram_lm(
     below the threshold INSIDE the aggregation, before anything is
     collected; ``max_vocab`` keeps only the top-``max_vocab`` unigrams
     by (count DESC, word ASC) — a distributed TakeOrdered, never a full
-    sort — so a careless caller pointing this at a raw web corpus
-    collects a bounded table instead of OOMing the driver (the
-    bpe_train ``max_words`` discipline). V counts the kept vocabulary.
+    sort — AND restricts the bigram table to pairs whose BOTH words
+    survive (broadcast semi-joins against the kept vocabulary), so a
+    careless caller pointing this at a raw web corpus collects bounded
+    tables instead of OOMing the driver (the bpe_train ``max_words``
+    discipline). The both-ends restriction also keeps every
+    log-probability negative: a retained bigram of a dropped word would
+    score log((c12+1)/(0+V)) > 0 whenever c12+1 > V, i.e. ppl < 1 for
+    garbage. V counts the kept vocabulary.
     Both count tables come back in ONE Spark job (a union of the two
     aggregations) instead of two sequential collects."""
     toks = train_docs.select(_tokens_col(text_col).alias("toks"))
@@ -139,6 +144,14 @@ def train_bigram_lm(
     big = pairs.groupBy("p.w1", "p.w2").agg(F.count("*").alias("c"))
     if min_count > 1:
         big = big.where(F.col("c") >= min_count)
+    if max_vocab is not None:
+        vocab = uni.select("w")
+        big = (
+            big.join(F.broadcast(vocab.withColumnRenamed("w", "w1")),
+                     "w1", "left_semi")
+            .join(F.broadcast(vocab.withColumnRenamed("w", "w2")),
+                  "w2", "left_semi")
+        )
     rows = (
         uni.select(F.lit(0).alias("kind"), F.col("w").alias("w1"),
                    F.lit(None).cast("string").alias("w2"), "c")

@@ -65,41 +65,53 @@ def _words(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
 
 
-def symbol_word_ratio(col: Column) -> Column:
-    """(# of '#' + '...' + ellipsis chars) / words — Gopher's symbol ratio."""
+def _signal_cols(tt: Column, w: Column, li: Column) -> dict[str, Column]:
+    """The four native quality signals over (text, word array, line
+    array) columns — the ONE definition shared by the per-column public
+    helpers below (which pass the unstaged arrays) and by doc_quality
+    (which stages the arrays as named columns first, the r6 staging
+    discipline — an interpreted lambda re-evaluates whatever it closes
+    over per element, so callers evaluating many signals should stage)."""
     symbols = (
-        _count_literal(col, "#")
-        + _count_literal(F.replace(col, F.lit("…"), F.lit("...")), "...")
+        _count_literal(tt, "#")
+        + _count_literal(F.replace(tt, F.lit("…"), F.lit("...")), "...")
     )
-    nw = F.size(_words(col))
-    return F.when(nw == 0, 0.0).otherwise(_trunc6(symbols / nw))
-
-
-def ellipsis_line_fraction(col: Column) -> Column:
-    lines = _lines(col)
-    n = F.size(lines)
-    ends = F.filter(
-        lines, lambda x: x.endswith("...") | x.endswith("…")
-    )
-    return F.when(n == 0, 0.0).otherwise(_trunc6(F.size(ends) / n))
-
-
-def bullet_line_fraction(col: Column) -> Column:
-    lines = _lines(col)
-    n = F.size(lines)
+    nw = F.size(w)
+    nl = F.size(li)
+    ends = F.filter(li, lambda x: x.endswith("...") | x.endswith("…"))
     bullets = F.filter(
-        lines,
+        li,
         lambda x: x.startswith("- ") | x.startswith("* ")
         | x.startswith("•"),
     )
-    return F.when(n == 0, 0.0).otherwise(_trunc6(F.size(bullets) / n))
+    alpha = F.filter(w, lambda x: x.rlike("[a-z]"))
+    return {
+        "symbol_word_ratio":
+            F.when(nw == 0, 0.0).otherwise(_trunc6(symbols / nw)),
+        "ellipsis_line_fraction":
+            F.when(nl == 0, 0.0).otherwise(_trunc6(F.size(ends) / nl)),
+        "bullet_line_fraction":
+            F.when(nl == 0, 0.0).otherwise(_trunc6(F.size(bullets) / nl)),
+        "alpha_word_fraction":
+            F.when(nw == 0, 0.0).otherwise(_trunc6(F.size(alpha) / nw)),
+    }
+
+
+def symbol_word_ratio(col: Column) -> Column:
+    """(# of '#' + '...' + ellipsis chars) / words — Gopher's symbol ratio."""
+    return _signal_cols(col, _words(col), _lines(col))["symbol_word_ratio"]
+
+
+def ellipsis_line_fraction(col: Column) -> Column:
+    return _signal_cols(col, _words(col), _lines(col))["ellipsis_line_fraction"]
+
+
+def bullet_line_fraction(col: Column) -> Column:
+    return _signal_cols(col, _words(col), _lines(col))["bullet_line_fraction"]
 
 
 def alpha_word_fraction(col: Column) -> Column:
-    words = _words(col)
-    nw = F.size(words)
-    alpha = F.filter(words, lambda x: x.rlike("[a-z]"))
-    return F.when(nw == 0, 0.0).otherwise(_trunc6(F.size(alpha) / nw))
+    return _signal_cols(col, _words(col), _lines(col))["alpha_word_fraction"]
 
 
 _REPETITION_SCHEMA = T.StructType(
@@ -161,31 +173,11 @@ def doc_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
         _words(F.col("__text")).alias("__w"),
         _lines(F.col("__text")).alias("__l"),
     )
-    tt, w, li = F.col("__text"), F.col("__w"), F.col("__l")
-    symbols = (
-        _count_literal(tt, "#")
-        + _count_literal(F.replace(tt, F.lit("…"), F.lit("...")), "...")
-    )
-    nw = F.size(w)
-    nl = F.size(li)
-    ends = F.filter(li, lambda x: x.endswith("...") | x.endswith("…"))
-    bullets = F.filter(
-        li,
-        lambda x: x.startswith("- ") | x.startswith("* ")
-        | x.startswith("•"),
-    )
-    alpha = F.filter(w, lambda x: x.rlike("[a-z]"))
+    sig = _signal_cols(F.col("__text"), F.col("__w"), F.col("__l"))
     src = staged.select(
         "doc_id",
         "__text",
-        F.when(nw == 0, 0.0).otherwise(_trunc6(symbols / nw))
-        .alias("symbol_word_ratio"),
-        F.when(nl == 0, 0.0).otherwise(_trunc6(F.size(ends) / nl))
-        .alias("ellipsis_line_fraction"),
-        F.when(nl == 0, 0.0).otherwise(_trunc6(F.size(bullets) / nl))
-        .alias("bullet_line_fraction"),
-        F.when(nw == 0, 0.0).otherwise(_trunc6(F.size(alpha) / nw))
-        .alias("alpha_word_fraction"),
+        *[sig[name].alias(name) for name in _NATIVE_COLS],
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -259,3 +259,9 @@ def test_train_caps_bound_the_collected_tables(spark):
     # top-2 by (count DESC, word ASC): a(5), b(3)
     assert set(top2.unigram) == {"a", "b"}
     assert top2.v == 3
+    # bigram table restricted to pairs with BOTH ends in the kept
+    # vocabulary (so no retained bigram of a dropped word can produce
+    # a positive log-probability)
+    assert set(top2.bigram) == {p for p in full.bigram
+                                if p[0] in {"a", "b"} and p[1] in {"a", "b"}}
+    assert all(top2.logp_micro(w1, w2) < 0 for (w1, w2) in full.bigram)
